@@ -1,0 +1,74 @@
+"""Query graph machinery: atlas ids, query generation.
+
+The standard DeSCo workload is the 29 connected queries of size 3-5 from
+the networkx graph atlas (atlas ids 6..52). Semantics mirror
+``gen_query_ids`` (/root/reference/subgraph_counting/data.py:37-58) and
+``graph_atlas_plus`` (workload.py:1128-1671): ids below 1253 resolve via
+``nx.graph_atlas``; larger hand-crafted patterns (ids >= 8000) are an
+extension hook (not yet shipped here).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Dict, List
+
+import networkx as nx
+import numpy as np
+
+from .container import Graph
+
+_ATLAS_SCAN_END = 209  # covers all graphs up to 7 nodes
+
+
+def gen_query_ids(query_sizes: List[int]) -> List[int]:
+    """Atlas ids of all *connected* graphs whose size is in ``query_sizes``.
+
+    For sizes [3, 4, 5] this yields the 29 standard queries.
+    """
+    by_size: Dict[int, List[int]] = defaultdict(list)
+    for i in range(6, _ATLAS_SCAN_END):
+        g = nx.graph_atlas(i)
+        if nx.is_connected(g):
+            by_size[len(g)].append(i)
+        if len(g) > max(query_sizes):
+            break
+    out: List[int] = []
+    for size, ids in by_size.items():
+        if size in query_sizes:
+            out.extend(ids)
+    return out
+
+
+def graph_atlas_plus(query_id: int) -> nx.Graph:
+    """Atlas lookup with room for extended large patterns.
+
+    The reference extends the atlas with hand-coded 8-14-node patterns at
+    ids 8000-14004 (workload.py:1128-1671); those are not shipped yet.
+    """
+    if query_id < 1253:
+        g = nx.graph_atlas(query_id)
+        return nx.convert_node_labels_to_integers(g)
+    raise NotImplementedError(
+        f"extended atlas id {query_id}: large hand-coded patterns "
+        "(reference workload.py:1128-1671) are not shipped yet"
+    )
+
+
+def gen_queries(query_ids: List[int]) -> List[Graph]:
+    """Queries as host Graphs, nodes 0..k-1."""
+    return [Graph.from_networkx(graph_atlas_plus(i)) for i in query_ids]
+
+
+def query_sizes(query_ids: List[int]) -> np.ndarray:
+    return np.array([graph_atlas_plus(i).number_of_nodes() for i in query_ids])
+
+
+def groupby_size(query_ids: List[int]) -> List[List[int]]:
+    """Group query indices by query size, sizes ascending — the grouping
+    used for the paper's per-size normed-MSE metric (main.py:463-469)."""
+    sizes = query_sizes(query_ids)
+    out = []
+    for s in sorted(set(sizes.tolist())):
+        out.append([int(i) for i in np.nonzero(sizes == s)[0]])
+    return out
