@@ -1,0 +1,202 @@
+"""Static-shape packed graph batches — the TPU-native replacement for PyG's
+ragged hetero batching (reference lightning_data.py:59-101, workload.py
+collate). Many small graphs are packed into ONE set of flat arrays with
+fixed capacities (nodes/edges/graphs), so every batch of a loader shares a
+single compiled shape: no recompilation storms, full MXU tiling.
+
+Layout invariants (load-bearing):
+  * node slot ``n_cap - 1`` is reserved as the *pad node*; padded edges
+    point src/dst at it, so with the model invariant ``x[pad] == 0`` they
+    contribute nothing to any aggregation.
+  * ``node_graph`` of padding nodes is ``g_cap`` (an extra segment that is
+    sliced away after pooling).
+  * edges are pre-sorted by ``(edge_type, dst)`` on the host so device
+    segment-sums can assume sorted segment ids.
+  * within a sample, node order preserves the original (ascending) node
+    ids — canonical attribution and the gossip direction bit
+    (``src < dst``, gnn_model.py:245-248) depend on it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+try:
+    from flax import struct
+except ImportError:  # pragma: no cover
+    struct = None
+
+# Padded edges carry this sentinel type: their combined segment id
+# ``type * N + dst`` then sorts after every real edge AND falls outside
+# ``n_types * N``, so sorted segment-sums drop them natively. Small enough
+# that ``PAD_EDGE_TYPE * n_cap`` stays well inside int32.
+PAD_EDGE_TYPE = 63
+
+
+@struct.dataclass
+class PackedGraphs:
+    """One static-shape batch of graphs (device pytree)."""
+
+    x: np.ndarray          # [N, F] f32 node features
+    node_type: np.ndarray  # [N] i32
+    node_graph: np.ndarray  # [N] i32 graph slot; pad nodes -> G
+    node_mask: np.ndarray  # [N] f32 (1.0 valid)
+    edge_src: np.ndarray   # [E] i32
+    edge_dst: np.ndarray   # [E] i32
+    edge_type: np.ndarray  # [E] i32 (gossip: direction bit 0=fwd,1=bwd)
+    graph_mask: np.ndarray  # [G] f32 (1.0 valid)
+    y: Optional[np.ndarray] = None       # [G, Q] graph-level labels
+    node_y: Optional[np.ndarray] = None  # [N, Q] node-level labels (gossip)
+
+    @property
+    def n_cap(self) -> int:
+        return self.x.shape[0]
+
+    @property
+    def e_cap(self) -> int:
+        return self.edge_src.shape[0]
+
+    @property
+    def g_cap(self) -> int:
+        return self.graph_mask.shape[0]
+
+
+@dataclasses.dataclass
+class GraphSample:
+    """Host-side sample: one graph with typed directed edges."""
+
+    node_type: np.ndarray  # [k] i32
+    x: np.ndarray          # [k, F] f32
+    edge_src: np.ndarray   # [m] i32 (directed; both directions listed)
+    edge_dst: np.ndarray   # [m] i32
+    edge_type: np.ndarray  # [m] i32
+    y: Optional[np.ndarray] = None       # [Q]
+    node_y: Optional[np.ndarray] = None  # [k, Q]
+
+    @property
+    def n_nodes(self) -> int:
+        return len(self.node_type)
+
+    @property
+    def n_edges(self) -> int:
+        return len(self.edge_src)
+
+
+def pack_samples(
+    samples: Sequence[GraphSample],
+    n_cap: int,
+    e_cap: int,
+    g_cap: int,
+    n_queries: int = 0,
+) -> List[PackedGraphs]:
+    """Greedy sequential packing into fixed-capacity batches."""
+    batches: List[PackedGraphs] = []
+    cur: List[GraphSample] = []
+    n_used, e_used = 0, 0
+    for s in samples:
+        if s.n_nodes > n_cap - 1 or s.n_edges > e_cap:
+            raise ValueError(
+                f"sample with {s.n_nodes} nodes / {s.n_edges} edges exceeds "
+                f"capacities ({n_cap - 1}, {e_cap})"
+            )
+        if (
+            cur
+            and (
+                n_used + s.n_nodes > n_cap - 1
+                or e_used + s.n_edges > e_cap
+                or len(cur) >= g_cap
+            )
+        ):
+            batches.append(_finalize(cur, n_cap, e_cap, g_cap, n_queries))
+            cur, n_used, e_used = [], 0, 0
+        cur.append(s)
+        n_used += s.n_nodes
+        e_used += s.n_edges
+    if cur:
+        batches.append(_finalize(cur, n_cap, e_cap, g_cap, n_queries))
+    return batches
+
+
+def _finalize(
+    samples: List[GraphSample], n_cap: int, e_cap: int, g_cap: int,
+    n_queries: int,
+) -> PackedGraphs:
+    f_dim = samples[0].x.shape[1]
+    pad_node = n_cap - 1
+
+    x = np.zeros((n_cap, f_dim), dtype=np.float32)
+    node_type = np.zeros(n_cap, dtype=np.int32)
+    node_graph = np.full(n_cap, g_cap, dtype=np.int32)
+    node_mask = np.zeros(n_cap, dtype=np.float32)
+    edge_src = np.full(e_cap, pad_node, dtype=np.int32)
+    edge_dst = np.full(e_cap, pad_node, dtype=np.int32)
+    edge_type = np.full(e_cap, PAD_EDGE_TYPE, dtype=np.int32)
+    graph_mask = np.zeros(g_cap, dtype=np.float32)
+
+    has_y = samples[0].y is not None
+    has_ny = samples[0].node_y is not None
+    y = np.zeros((g_cap, n_queries), dtype=np.float32) if has_y else None
+    node_y = np.zeros((n_cap, n_queries), dtype=np.float32) if has_ny else None
+
+    # concatenate
+    srcs, dsts, types = [], [], []
+    off = 0
+    for gi, s in enumerate(samples):
+        k = s.n_nodes
+        x[off:off + k] = s.x
+        node_type[off:off + k] = s.node_type
+        node_graph[off:off + k] = gi
+        node_mask[off:off + k] = 1.0
+        graph_mask[gi] = 1.0
+        if has_y:
+            y[gi] = s.y
+        if has_ny:
+            node_y[off:off + k] = s.node_y
+        srcs.append(s.edge_src + off)
+        dsts.append(s.edge_dst + off)
+        types.append(s.edge_type)
+        off += k
+
+    if srcs:
+        es = np.concatenate(srcs).astype(np.int32)
+        ed = np.concatenate(dsts).astype(np.int32)
+        et = np.concatenate(types).astype(np.int32)
+        # sort by (type, dst) so device segment ids are sorted
+        order = np.lexsort((ed, et))
+        m = len(es)
+        edge_src[:m] = es[order]
+        edge_dst[:m] = ed[order]
+        edge_type[:m] = et[order]
+
+    return PackedGraphs(
+        x=x, node_type=node_type, node_graph=node_graph, node_mask=node_mask,
+        edge_src=edge_src, edge_dst=edge_dst, edge_type=edge_type,
+        graph_mask=graph_mask, y=y, node_y=node_y,
+    )
+
+
+def auto_capacities(
+    samples: Sequence[GraphSample], g_cap: int, slack: float = 1.2,
+) -> tuple[int, int, int]:
+    """Pick (n_cap, e_cap, g_cap) so that g_cap-sized batches of these
+    samples fit with headroom for epoch reshuffles. Capacities are rounded
+    up to multiples of 128 (lane alignment)."""
+    nodes = np.array([s.n_nodes for s in samples], dtype=np.int64)
+    edges = np.array([s.n_edges for s in samples], dtype=np.int64)
+    g_cap = min(g_cap, len(samples))
+    mean_n = float(nodes.mean()) if len(nodes) else 1.0
+    mean_e = float(edges.mean()) if len(edges) else 1.0
+    n_cap = int(max(nodes.max() + 1, slack * g_cap * mean_n + 1))
+    e_cap = int(max(edges.max(), slack * g_cap * mean_e))
+    r128 = lambda v: ((v + 127) // 128) * 128
+    return r128(n_cap + 1), r128(max(e_cap, 1)), g_cap
+
+
+def stack_batches(batches: List[PackedGraphs]) -> PackedGraphs:
+    """Stack same-shape batches along a new leading axis (for scan/DP)."""
+    import jax
+
+    return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *batches)

@@ -1,0 +1,225 @@
+"""SHMP GNN core + embedding head — the TPU-native BaseGNN.
+
+The reference builds a homogeneous ``BaseGNNCore`` (pre_mp -> L conv
+layers with concat-skip) and clones it per node/edge type with
+``pyg.nn.to_hetero(aggr='sum')`` (gnn_model.py:115-277,
+lightning_model.py:371-421). Here SHMP is *data*, not module structure:
+edges carry a type id, and every layer is
+
+    agg[t, i]  = sum over type-t edges into i of x[src]     (segment-sum)
+    x_neigh[i] = sum over t of agg[t, i] @ W_conv[t] + per-dst-type bias
+    x          = act(update_by_node_type(cat(x_neigh, x)))  (SAGE)
+
+which is the exact same math as the cloned-module formulation (sum
+cross-type aggregation; every edge type always contributes its bias to
+its dst node type because the reference pads every sample to the full
+edge-type set — workload.py:275-283). All type handling is dense einsum
+over a leading type axis: one kernel, MXU-tiled.
+
+Padding invariant: node features of padding slots are forced to zero
+after every dense op, so padded edges (src = pad node) contribute nothing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..batch.packed import PackedGraphs
+from ..ops.segment import graph_pool_sum, typed_edge_aggregate
+from .init import linear_params, mlp_params
+
+
+@dataclasses.dataclass(frozen=True)
+class SHMPConfig:
+    """Static model configuration (hashable; safe as a jit static arg)."""
+
+    n_node_types: int = 2
+    n_edge_types: int = 6
+    edge_dst_type: Tuple[int, ...] = (0, 0, 1, 1, 0, 0)
+    input_dim: int = 1
+    hidden_dim: int = 64
+    output_dim: int = 64
+    layer_num: int = 8
+    conv_type: str = "SAGE"  # SAGE | GIN
+    dropout: float = 0.0
+    use_anchor: bool = True        # anchor MLP on canonical nodes
+    canonical_type: int = 1
+    per_node_output: bool = False  # gossip: post_mp per node, no pooling
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def post_input_dim(self) -> int:
+        return self.hidden_dim * self.layer_num + self.hidden_dim
+
+
+def init_shmp(key, cfg: SHMPConfig):
+    """Parameter pytree for the SHMP BaseGNN."""
+    ks = jax.random.split(key, 6)
+    h, p = cfg.hidden_dim, cfg.post_input_dim
+    params = {
+        # pre_mp cloned per node type (to_hetero semantics)
+        "pre": linear_params(ks[0], cfg.input_dim, h, cfg.n_node_types),
+        # conv lin per (layer, edge type)
+        "conv": linear_params(ks[1], h, h, cfg.layer_num, cfg.n_edge_types),
+        "post": mlp_params(ks[4], [p, h, h, 256, cfg.output_dim]),
+    }
+    if cfg.conv_type == "SAGE":
+        params["upd"] = linear_params(
+            ks[2], 2 * h, h, cfg.layer_num, cfg.n_node_types)
+    elif cfg.conv_type == "GIN":
+        # 2-layer update MLP per (layer, node type); eps fixed at 0
+        params["upd1"] = linear_params(
+            ks[2], h, h, cfg.layer_num, cfg.n_node_types)
+        params["upd2"] = linear_params(
+            ks[5], h, h, cfg.layer_num, cfg.n_node_types)
+    else:
+        raise NotImplementedError(cfg.conv_type)
+    if cfg.use_anchor:
+        params["anchor"] = linear_params(ks[3], p, p)
+    return params
+
+
+def _per_type_linear(x, w, b, node_type, n_types):
+    """y[i] = x[i] @ w[type(i)] + b[type(i)] — computed as all-types
+    einsum + select (MXU-friendly for small type counts)."""
+    y_all = jnp.einsum("nd,tdh->tnh", x, w) + b[:, None, :]
+    if n_types == 1:
+        return y_all[0]
+    return jnp.take_along_axis(
+        y_all, node_type[None, :, None].astype(jnp.int32), axis=0
+    )[0]
+
+
+def _dropout(x, rate, rng, train):
+    if not train or rate <= 0.0 or rng is None:
+        return x
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0)
+
+
+def apply_shmp_core(
+    params, cfg: SHMPConfig, batch: PackedGraphs,
+    train: bool = False, rng=None,
+) -> jnp.ndarray:
+    """BaseGNNCore.forward (gnn_model.py:230-277): returns [N, post_input_dim]
+    concat-skip embeddings with padded rows zeroed."""
+    nmask = batch.node_mask[:, None].astype(cfg.dtype)
+    ntype = batch.node_type
+
+    # per-dst-type conv bias accumulation: bias_by_ntype[t_n] =
+    # sum of conv biases of edge types whose dst node type is t_n
+    dst_t = jnp.asarray(cfg.edge_dst_type)
+
+    x = _per_type_linear(
+        batch.x.astype(cfg.dtype), params["pre"][0], params["pre"][1],
+        ntype, cfg.n_node_types)
+    x = x * nmask
+    emb = x
+
+    for l in range(cfg.layer_num):
+        if rng is not None:
+            rng, sub = jax.random.split(rng)
+        else:
+            sub = None
+        agg = typed_edge_aggregate(
+            x, batch.edge_src, batch.edge_dst, batch.edge_type,
+            cfg.n_edge_types)  # [T_e, N, H]
+        conv_w, conv_b = params["conv"][0][l], params["conv"][1][l]
+        x_neigh = jnp.einsum("tnh,thk->nk", agg, conv_w)
+        bias_by_ntype = jax.ops.segment_sum(
+            conv_b, dst_t, num_segments=cfg.n_node_types)  # [T_n, H]
+        x_neigh = x_neigh + bias_by_ntype[ntype]
+
+        if cfg.conv_type == "SAGE":
+            upd_in = jnp.concatenate([x_neigh, x], axis=-1)
+            x = _per_type_linear(
+                upd_in, params["upd"][0][l], params["upd"][1][l],
+                ntype, cfg.n_node_types)
+        else:  # GIN: update MLP on (x_neigh + (1 + eps) * x), eps = 0
+            upd_in = x_neigh + x
+            hmid = jax.nn.relu(_per_type_linear(
+                upd_in, params["upd1"][0][l], params["upd1"][1][l],
+                ntype, cfg.n_node_types))
+            x = _per_type_linear(
+                hmid, params["upd2"][0][l], params["upd2"][1][l],
+                ntype, cfg.n_node_types)
+        x = jax.nn.relu(x)
+        x = _dropout(x, cfg.dropout, sub, train)
+        x = x * nmask
+        emb = jnp.concatenate([emb, x], axis=-1)
+
+    return emb
+
+
+def apply_shmp(
+    params, cfg: SHMPConfig, batch: PackedGraphs,
+    train: bool = False, rng=None,
+) -> jnp.ndarray:
+    """BaseGNN.forward (gnn_model.py:58-109): core -> anchor MLP on
+    canonical nodes -> global add pool -> post MLP. Returns [G, out]
+    (or [N, out] per-node when cfg.per_node_output, the gossip path)."""
+    emb = apply_shmp_core(params, cfg, batch, train=train, rng=rng)
+
+    if cfg.use_anchor:
+        aw, ab = params["anchor"]
+        anchored = jax.nn.leaky_relu(emb @ aw + ab, negative_slope=0.1)
+        is_canon = (batch.node_type == cfg.canonical_type)[:, None]
+        emb = jnp.where(is_canon, anchored, emb)
+
+    if rng is not None:
+        rng, sub = jax.random.split(rng)
+    else:
+        sub = None
+
+    if cfg.per_node_output:
+        out = _apply_post(params["post"], emb, cfg, sub, train)
+        return out * batch.node_mask[:, None].astype(cfg.dtype)
+
+    emb = emb * batch.node_mask[:, None].astype(cfg.dtype)
+    pooled = graph_pool_sum(emb, batch.node_graph, batch.g_cap)
+    return _apply_post(params["post"], pooled, cfg, sub, train)
+
+
+def _apply_post(post, x, cfg, rng, train):
+    """post_mp: Linear -> Dropout -> LeakyReLU(0.1) -> Linear -> ReLU ->
+    Linear -> ReLU -> Linear (gnn_model.py:44-53)."""
+    (w1, b1), (w2, b2), (w3, b3), (w4, b4) = post
+    x = x @ w1 + b1
+    x = _dropout(x, cfg.dropout, rng, train)
+    x = jax.nn.leaky_relu(x, negative_slope=0.1)
+    x = jax.nn.relu(x @ w2 + b2)
+    x = jax.nn.relu(x @ w3 + b3)
+    return x @ w4 + b4
+
+
+# ----------------------------------------------------------------- configs
+def neighborhood_target_config(
+    use_tconv: bool = True, use_hetero: bool = True, **kw
+) -> SHMPConfig:
+    from ..batch.build import NEIGH_PLAIN_DST, NEIGH_TCONV_DST
+
+    if not use_hetero:
+        return SHMPConfig(n_node_types=1, n_edge_types=1,
+                          edge_dst_type=(0,), use_anchor=True,
+                          canonical_type=1, **kw)
+    if use_tconv:
+        return SHMPConfig(n_node_types=2, n_edge_types=6,
+                          edge_dst_type=NEIGH_TCONV_DST, **kw)
+    return SHMPConfig(n_node_types=2, n_edge_types=3,
+                      edge_dst_type=NEIGH_PLAIN_DST, **kw)
+
+
+def query_config(use_tconv: bool = True, **kw) -> SHMPConfig:
+    from ..batch.build import QUERY_PLAIN_DST, QUERY_TCONV_DST
+
+    if use_tconv:
+        return SHMPConfig(n_node_types=1, n_edge_types=2,
+                          edge_dst_type=QUERY_TCONV_DST,
+                          use_anchor=True, canonical_type=1, **kw)
+    return SHMPConfig(n_node_types=1, n_edge_types=1,
+                      edge_dst_type=QUERY_PLAIN_DST,
+                      use_anchor=True, canonical_type=1, **kw)

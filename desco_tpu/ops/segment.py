@@ -1,0 +1,58 @@
+"""Segment reductions — the sparse workhorses.
+
+These replace torch-scatter's ``segment_csr`` / PyG's gather-scatter
+(reference workload.py:29,148; gnn_model.py message passing). The XLA
+path uses ``jax.ops.segment_sum`` with sorted-segment hints (host packing
+pre-sorts edges by ``(type, dst)``); a Pallas kernel for the hot typed
+aggregation lives in ``desco_tpu.ops.pallas_segment`` and is selected by
+``typed_edge_aggregate`` when beneficial.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def segment_sum(
+    data: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    num_segments: int,
+    indices_are_sorted: bool = False,
+) -> jnp.ndarray:
+    return jax.ops.segment_sum(
+        data, segment_ids, num_segments=num_segments,
+        indices_are_sorted=indices_are_sorted,
+    )
+
+
+def typed_edge_aggregate(
+    x: jnp.ndarray,          # [N, H] node features
+    edge_src: jnp.ndarray,   # [E] i32
+    edge_dst: jnp.ndarray,   # [E] i32
+    edge_type: jnp.ndarray,  # [E] i32, values in [0, T)
+    n_types: int,
+) -> jnp.ndarray:
+    """SHMP aggregation: out[t, i] = sum over edges e of type t with
+    dst(e)==i of x[src(e)]. Returns [T, N, H].
+
+    One fused gather + segment-sum over the combined key ``t*N + dst``;
+    edges are pre-sorted by (type, dst) on the host, so segment ids are
+    sorted (monotone scatter).
+    """
+    n = x.shape[0]
+    seg = edge_type.astype(jnp.int32) * n + edge_dst.astype(jnp.int32)
+    msgs = jnp.take(x, edge_src, axis=0)
+    agg = segment_sum(msgs, seg, n_types * n, indices_are_sorted=True)
+    return agg.reshape(n_types, n, x.shape[1])
+
+
+def graph_pool_sum(
+    node_emb: jnp.ndarray,   # [N, H]
+    node_graph: jnp.ndarray,  # [N] i32, pad nodes -> n_graphs
+    n_graphs: int,
+) -> jnp.ndarray:
+    """global_add_pool: [G, H]; pad nodes land in segment G (sliced off)."""
+    pooled = segment_sum(node_emb, node_graph, n_graphs + 1,
+                         indices_are_sorted=True)
+    return pooled[:n_graphs]

@@ -3,12 +3,18 @@ sharding paths compile and run without TPU hardware."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The container's sitecustomize imports jax at interpreter startup with
+# JAX_PLATFORMS=axon (the tunneled TPU), so env edits here are too late —
+# use jax.config, which works any time before backend initialization.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
