@@ -1,0 +1,93 @@
+"""CLI flag surface mirroring the reference's three argparse groups
+(/root/reference/subgraph_counting/config.py:185-400): ``neigh_*`` and
+``gossip_*`` prefixed model groups plus the optimizer/driver group, with
+the paper defaults. Produces a ``PipelineConfig``."""
+
+from __future__ import annotations
+
+import argparse
+
+from .pipeline import PipelineConfig
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="desco_tpu: TPU-native DeSCo")
+
+    n = p.add_argument_group("neighborhood counting model arguments")
+    n.add_argument("--neigh_conv_type", type=str, default="SAGE")
+    n.add_argument("--neigh_layer_num", type=int, default=8)
+    n.add_argument("--neigh_input_dim", type=int, default=1)
+    n.add_argument("--neigh_hidden_dim", type=int, default=64)
+    n.add_argument("--neigh_dropout", type=float, default=0.0)
+    n.add_argument("--neigh_model_path", type=str,
+                   default="ckpt/desco_tpu/neigh")
+    n.add_argument("--neigh_epoch_num", type=int, default=300)
+    n.add_argument("--neigh_batch_size", type=int, default=512)
+    n.add_argument("--depth", type=int, default=4,
+                   help="depth of the canonical neighborhood")
+    n.add_argument("--use_hetero", action=argparse.BooleanOptionalAction,
+                   default=True)
+    n.add_argument("-t", "--use_tconv", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="triangle convolution (a case of SHMP)")
+    n.add_argument("--neigh_weight_decay", type=float, default=0.0)
+    n.add_argument("--neigh_lr", type=float, default=1e-4)
+
+    g = p.add_argument_group("gossip counting model arguments")
+    g.add_argument("--gossip_conv_type", type=str, default="GOSSIP")
+    g.add_argument("--gossip_layer_num", type=int, default=2)
+    g.add_argument("--gossip_hidden_dim", type=int, default=64)
+    g.add_argument("--gossip_dropout", type=float, default=0.01)
+    g.add_argument("--gossip_model_path", type=str,
+                   default="ckpt/desco_tpu/gossip")
+    g.add_argument("--gossip_epoch_num", type=int, default=30)
+    g.add_argument("--gossip_batch_size", type=int, default=256)
+    g.add_argument("--gossip_lr", type=float, default=1e-3)
+    g.add_argument("--gossip_weight_decay", type=float, default=0.0)
+
+    o = p.add_argument_group("optimizer arguments")
+    o.add_argument("--train_dataset", type=str, default="Syn_1827")
+    o.add_argument("--valid_dataset", type=str, default="Syn_1827")
+    o.add_argument("--test_dataset", type=str, default="MUTAG")
+    o.add_argument("--query_sizes", type=int, nargs="+", default=[3, 4, 5])
+    o.add_argument("--num_cpu", type=int, default=8)
+    o.add_argument("--data_root", type=str, default="data")
+    o.add_argument("--output_dir", type=str, default=None)
+    o.add_argument("--neigh_checkpoint", type=str, default=None)
+    o.add_argument("--gossip_checkpoint", type=str, default=None)
+    o.add_argument("--train_neigh", action="store_true")
+    o.add_argument("--train_gossip", action="store_true")
+    o.add_argument("--test_gossip", action="store_true")
+    o.add_argument("--seed", type=int, default=0)
+    o.add_argument("--n_devices", type=int, default=0,
+                   help="data-parallel devices (0 = all available)")
+    return p
+
+
+def to_pipeline_config(args: argparse.Namespace) -> PipelineConfig:
+    return PipelineConfig(
+        query_sizes=tuple(args.query_sizes),
+        depth=args.depth,
+        use_hetero=args.use_hetero,
+        use_tconv=args.use_tconv,
+        conv_type=args.neigh_conv_type,
+        neigh_layer_num=args.neigh_layer_num,
+        neigh_hidden_dim=args.neigh_hidden_dim,
+        neigh_input_dim=args.neigh_input_dim,
+        neigh_dropout=args.neigh_dropout,
+        neigh_epochs=args.neigh_epoch_num,
+        neigh_batch_size=args.neigh_batch_size,
+        neigh_lr=args.neigh_lr,
+        neigh_weight_decay=args.neigh_weight_decay,
+        gossip_layer_num=args.gossip_layer_num,
+        gossip_hidden_dim=args.gossip_hidden_dim,
+        gossip_dropout=args.gossip_dropout,
+        gossip_epochs=args.gossip_epoch_num,
+        gossip_batch_size=args.gossip_batch_size,
+        gossip_lr=args.gossip_lr,
+        gossip_weight_decay=args.gossip_weight_decay,
+        seed=args.seed,
+        data_root=args.data_root,
+        output_dir=args.output_dir,
+        num_workers=args.num_cpu,
+    )

@@ -23,10 +23,19 @@ from .container import Graph
 
 def triangle_edge_mask(g: Graph) -> np.ndarray:
     """Boolean mask over ``g.edges`` (undirected, stored once): True iff
-    the edge is part of >=1 triangle."""
+    the edge is part of >=1 triangle. Dispatches to the native C++ kernel
+    when available (the Python loop below is the fallback/oracle)."""
     m = g.n_edges
     if m == 0:
         return np.zeros(0, dtype=bool)
+    if m > 32:
+        try:
+            from ..truth.native import native_available, triangle_mask_native
+
+            if native_available():
+                return triangle_mask_native(g)
+        except ImportError:  # pragma: no cover
+            pass
     indptr, indices = g.csr()  # neighbor lists sorted ascending
     mask = np.zeros(m, dtype=bool)
     deg = np.diff(indptr)

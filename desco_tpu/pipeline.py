@@ -1,0 +1,206 @@
+"""End-to-end DeSCo pipeline: the library-level orchestration used by the
+CLI (main.py) and tests — the counterpart of the reference's ``main()``
+(/root/reference/main.py:31-517).
+
+Stages:
+  1. load datasets, compute/cache exact ground truth (C++ VF2)
+  2. canonical partition -> packed neighborhood batches
+  3. train/eval the SHMP neighborhood counting model
+  4. scatter stage-1 counts into gossip node features
+  5. train/eval the gossip propagation model
+  6. aggregate to graph-level counts, normed-MSE/MAE per query size
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from .analysis import mae, norm_mse, round_relu
+from .batch.build import query_sample
+from .batch.packed import GraphSample, PackedGraphs, auto_capacities, pack_samples
+from .graph.atlas import gen_queries, gen_query_ids, groupby_size
+from .graph.container import Graph
+from .data.workload import NeighborhoodIndex, Workload
+from .models import gossip as gossip_mod
+from .models import neighborhood as neigh_mod
+from .models.shmp_gnn import (
+    neighborhood_target_config,
+    query_config,
+)
+from .train import loop as train_loop
+
+
+@dataclasses.dataclass
+class PipelineConfig:
+    """Defaults mirror the reference's paper config
+    (config.py:247-264, 312-322)."""
+
+    query_sizes: Sequence[int] = (3, 4, 5)
+    depth: int = 4
+    use_hetero: bool = True
+    use_tconv: bool = True
+    conv_type: str = "SAGE"
+    # neighborhood stage
+    neigh_layer_num: int = 8
+    neigh_hidden_dim: int = 64
+    neigh_input_dim: int = 1
+    neigh_dropout: float = 0.0
+    neigh_epochs: int = 300
+    neigh_batch_size: int = 512
+    neigh_lr: float = 1e-4
+    neigh_weight_decay: float = 0.0
+    # gossip stage
+    gossip_layer_num: int = 2
+    gossip_hidden_dim: int = 64
+    gossip_dropout: float = 0.01
+    gossip_epochs: int = 30
+    gossip_batch_size: int = 256
+    gossip_lr: float = 1e-3
+    gossip_weight_decay: float = 0.0
+    # misc
+    seed: int = 0
+    data_root: str = "data"
+    output_dir: Optional[str] = None
+    num_workers: Optional[int] = None
+
+    @property
+    def query_ids(self) -> List[int]:
+        return gen_query_ids(list(self.query_sizes))
+
+
+def model_configs(cfg: PipelineConfig):
+    tgt = neighborhood_target_config(
+        use_tconv=cfg.use_tconv, use_hetero=cfg.use_hetero,
+        input_dim=cfg.neigh_input_dim, hidden_dim=cfg.neigh_hidden_dim,
+        output_dim=cfg.neigh_hidden_dim, layer_num=cfg.neigh_layer_num,
+        conv_type=cfg.conv_type, dropout=cfg.neigh_dropout)
+    qry = query_config(
+        use_tconv=cfg.use_tconv,
+        input_dim=cfg.neigh_input_dim, hidden_dim=cfg.neigh_hidden_dim,
+        output_dim=cfg.neigh_hidden_dim, layer_num=cfg.neigh_layer_num,
+        conv_type=cfg.conv_type, dropout=cfg.neigh_dropout)
+    return tgt, qry
+
+
+def build_query_batch(cfg: PipelineConfig) -> PackedGraphs:
+    queries = gen_queries(cfg.query_ids)
+    qs = [query_sample(q, use_tconv=cfg.use_tconv,
+                       f_dim=cfg.neigh_input_dim) for q in queries]
+    batches = pack_samples(qs, *auto_capacities(qs, g_cap=len(qs)))
+    assert len(batches) == 1, "query set must pack into one batch"
+    return batches[0]
+
+
+@dataclasses.dataclass
+class StageData:
+    """Per-split prepared data for the neighborhood stage."""
+
+    workload: Workload
+    samples: List[GraphSample]
+    nindex: NeighborhoodIndex
+    truth: np.ndarray  # (total_nodes, Q) float64
+    batches: List[PackedGraphs]
+
+
+def prepare_stage_data(
+    cfg: PipelineConfig, graphs: List[Graph], name: str,
+    capacities=None,
+) -> StageData:
+    wl = Workload(graphs, root=os.path.join(cfg.data_root, name), name=name)
+    truth = wl.compute_groundtruth(cfg.query_ids,
+                                   num_workers=cfg.num_workers)
+    samples, nindex = wl.neighborhood_samples(
+        cfg.depth, cfg.query_ids, use_tconv=cfg.use_tconv,
+        use_hetero=cfg.use_hetero, truth=truth)
+    caps = capacities or auto_capacities(samples, g_cap=cfg.neigh_batch_size)
+    batches = pack_samples(samples, *caps,
+                           n_queries=len(cfg.query_ids))
+    return StageData(wl, samples, nindex, truth, batches)
+
+
+def train_neighborhood_stage(
+    cfg: PipelineConfig, train: StageData, val: StageData,
+    query_batch: PackedGraphs, ckpt_path: Optional[str] = None,
+    log_fn=print,
+):
+    tgt_cfg, qry_cfg = model_configs(cfg)
+    params = neigh_mod.init_neighborhood_model(
+        jax.random.PRNGKey(cfg.seed), tgt_cfg, qry_cfg)
+    result = train_loop.train_neighborhood(
+        params, tgt_cfg, qry_cfg, query_batch,
+        train.batches, val.batches,
+        epochs=cfg.neigh_epochs, lr=cfg.neigh_lr,
+        weight_decay=cfg.neigh_weight_decay,
+        ckpt_path=ckpt_path, ckpt_config=dataclasses.asdict(cfg),
+        seed=cfg.seed, log_fn=log_fn)
+    return result, tgt_cfg, qry_cfg
+
+
+def neighborhood_predictions(params, tgt_cfg, qry_cfg, query_batch,
+                             stage: StageData) -> np.ndarray:
+    """(#neighborhoods, Q) de-logged stage-1 counts."""
+    return train_loop.predict_neighborhood_counts(
+        params, tgt_cfg, qry_cfg, query_batch, stage.batches)
+
+
+def prepare_gossip_batches(
+    cfg: PipelineConfig, stage: StageData, neigh_counts: np.ndarray,
+    capacities=None,
+) -> List[PackedGraphs]:
+    samples = stage.workload.gossip_samples(neigh_counts, stage.nindex,
+                                            stage.truth)
+    caps = capacities or auto_capacities(samples, g_cap=cfg.gossip_batch_size)
+    return pack_samples(samples, *caps, n_queries=len(cfg.query_ids))
+
+
+def train_gossip_stage(
+    cfg: PipelineConfig, params_neigh, tgt_cfg, qry_cfg,
+    query_batch: PackedGraphs,
+    train_batches, val_batches, ckpt_path: Optional[str] = None,
+    log_fn=print,
+):
+    query_embs = neigh_mod.embed_queries(params_neigh, qry_cfg, query_batch)
+    query_embs = jax.lax.stop_gradient(query_embs)
+    params = gossip_mod.init_gossip_model(
+        jax.random.PRNGKey(cfg.seed + 1), input_dim=1,
+        hidden_dim=cfg.gossip_hidden_dim,
+        emb_channels=cfg.neigh_hidden_dim,
+        layer_num=cfg.gossip_layer_num)
+    result = train_loop.train_gossip(
+        params, query_embs, train_batches, val_batches,
+        epochs=cfg.gossip_epochs, lr=cfg.gossip_lr,
+        weight_decay=cfg.gossip_weight_decay, dropout=cfg.gossip_dropout,
+        ckpt_path=ckpt_path, ckpt_config=dataclasses.asdict(cfg),
+        seed=cfg.seed, log_fn=log_fn)
+    return result, query_embs
+
+
+def evaluate_graphlet_counts(
+    cfg: PipelineConfig, stage: StageData,
+    neigh_counts: np.ndarray,
+    gossip_node_counts: Optional[np.ndarray] = None,
+) -> Dict[str, List[float]]:
+    """Graph-level normed MSE / MAE per query-size group
+    (main.py:463-499)."""
+    groups = groupby_size(cfg.query_ids)
+    truth_graphlet = stage.workload.aggregate_node_counts(stage.truth)
+    out: Dict[str, List[float]] = {}
+
+    pred_neigh = round_relu(stage.workload.aggregate_neighborhood_counts(
+        neigh_counts, stage.nindex))
+    out["norm_mse_neighborhood"] = norm_mse(pred_neigh, truth_graphlet,
+                                            groups)
+    out["mae_neighborhood"] = mae(pred_neigh, truth_graphlet, groups)
+
+    if gossip_node_counts is not None:
+        pred_gossip = round_relu(
+            stage.workload.aggregate_node_counts(gossip_node_counts))
+        out["norm_mse_gossip"] = norm_mse(pred_gossip, truth_graphlet,
+                                          groups)
+        out["mae_gossip"] = mae(pred_gossip, truth_graphlet, groups)
+    return out

@@ -1,0 +1,245 @@
+"""Training loops: jitted scan-over-batches epochs, Adam + plateau LR,
+val-monitored best-checkpoint selection.
+
+Replaces PyTorch-Lightning's Trainer (reference main.py:205-273, 338-379):
+an epoch is ONE device dispatch — all same-shape packed batches are
+stacked on a leading axis and `lax.scan` runs the update across them,
+which matters here because host->TPU dispatch crosses a tunnel.
+
+Optimizer semantics mirror the reference exactly: torch.optim.Adam
+(lr applied after the adam direction, optional L2-style weight decay
+added to the gradient) + ReduceLROnPlateau on the val loss
+(lightning_model.py:160-173). The LR enters the jitted step as data, so
+plateau decays never recompile.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..batch.packed import PackedGraphs, stack_batches
+from ..models import gossip as gossip_mod
+from ..models import neighborhood as neigh_mod
+from ..models.shmp_gnn import SHMPConfig
+from .checkpoint import save_checkpoint
+from .schedule import ReduceLROnPlateau
+
+
+def make_adam(weight_decay: float = 0.0):
+    """torch.optim.Adam equivalent; LR is applied by the caller."""
+    txs = []
+    if weight_decay:
+        txs.append(optax.add_decayed_weights(weight_decay))
+    txs.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
+    txs.append(optax.scale(-1.0))
+    return optax.chain(*txs)
+
+
+@dataclasses.dataclass
+class TrainResult:
+    params: object
+    best_params: object
+    train_losses: List[float]
+    val_losses: List[float]
+    best_val: float
+    epoch_times: List[float]
+
+
+# ---------------------------------------------------------------- generic
+def _scan_epoch(step_fn, params, opt_state, stacked, lr, rng):
+    """One jitted epoch: scan the update over the stacked batch axis."""
+    def body(carry, batch):
+        params, opt_state, rng = carry
+        rng, sub = jax.random.split(rng)
+        params, opt_state, loss = step_fn(params, opt_state, batch, lr, sub)
+        return (params, opt_state, rng), loss
+
+    (params, opt_state, rng), losses = jax.lax.scan(
+        body, (params, opt_state, rng), stacked)
+    return params, opt_state, losses
+
+
+def run_training(
+    *, params, tx, train_batches: List[PackedGraphs],
+    val_batches: List[PackedGraphs],
+    step_fn, eval_fn, epochs: int, lr: float,
+    min_lr: float = 1e-5, factor: float = 0.5, patience: int = 20,
+    seed: int = 0, ckpt_path: Optional[str] = None,
+    ckpt_config: Optional[dict] = None,
+    log_every: int = 10, log_fn=print,
+) -> TrainResult:
+    """Generic loop: step_fn(params, opt, batch, lr, rng) ->
+    (params, opt, loss); eval_fn(params, batch) -> (loss_sum, weight)."""
+    opt_state = tx.init(params)
+    train_stack = jax.device_put(stack_batches(train_batches))
+    val_stack = jax.device_put(stack_batches(val_batches)) if val_batches else None
+    n_train = len(train_batches)
+
+    epoch_jit = jax.jit(partial(_scan_epoch, step_fn))
+
+    @jax.jit
+    def _val_loss(params):
+        sums, weights = jax.lax.map(partial(eval_fn, params), val_stack)
+        return jnp.sum(sums) / jnp.maximum(jnp.sum(weights), 1.0)
+
+    def val_loss(params):
+        if val_stack is None:
+            return float("nan")
+        return float(_val_loss(params))
+
+    sched = ReduceLROnPlateau(lr=lr, factor=factor, patience=patience,
+                              min_lr=min_lr)
+    rng = jax.random.PRNGKey(seed)
+    best_val, best_params = float("inf"), params
+    train_losses, val_losses, times = [], [], []
+
+    for epoch in range(epochs):
+        t0 = time.time()
+        rng, shuffle_key, epoch_key = jax.random.split(rng, 3)
+        perm = jax.random.permutation(shuffle_key, n_train)
+        shuffled = jax.tree_util.tree_map(lambda x: x[perm], train_stack)
+        params, opt_state, losses = epoch_jit(
+            params, opt_state, shuffled, jnp.float32(sched.lr), epoch_key)
+        tl = float(jnp.mean(losses))
+        vl = val_loss(params)
+        times.append(time.time() - t0)
+        train_losses.append(tl)
+        val_losses.append(vl)
+        monitored = vl if np.isfinite(vl) else tl
+        sched.step(monitored)
+        if monitored < best_val:
+            best_val = monitored
+            best_params = jax.tree_util.tree_map(lambda x: x, params)
+            if ckpt_path:
+                save_checkpoint(ckpt_path + ".best", best_params,
+                                config=ckpt_config,
+                                extra={"epoch": epoch, "val_loss": best_val})
+        if log_every and (epoch % log_every == 0 or epoch == epochs - 1):
+            log_fn(f"epoch {epoch:4d} train {tl:.5f} val {vl:.5f} "
+                   f"lr {sched.lr:.2e} {times[-1]:.2f}s")
+    if ckpt_path:
+        save_checkpoint(ckpt_path + ".last", params, config=ckpt_config,
+                        extra={"epoch": epochs - 1})
+    return TrainResult(params, best_params, train_losses, val_losses,
+                       best_val, times)
+
+
+# ----------------------------------------------------------- neighborhood
+def neighborhood_step_fn(tgt_cfg: SHMPConfig, qry_cfg: SHMPConfig,
+                         query_batch: PackedGraphs, tx):
+    def step(params, opt_state, batch, lr, rng):
+        loss, grads = jax.value_and_grad(neigh_mod.train_loss)(
+            params, tgt_cfg, qry_cfg, batch, query_batch, rng=rng)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        updates = jax.tree_util.tree_map(lambda u: u * lr, updates)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+def neighborhood_eval_fn(tgt_cfg, qry_cfg, query_batch):
+    def eval_one(params, batch):
+        # weighted by valid-graph count so the epoch metric is the true mean
+        loss = neigh_mod.train_loss(params, tgt_cfg, qry_cfg, batch,
+                                    query_batch)
+        w = batch.graph_mask.sum()
+        return loss * w, w
+
+    return eval_one
+
+
+def train_neighborhood(
+    params, tgt_cfg, qry_cfg, query_batch,
+    train_batches, val_batches, *, epochs=300, lr=1e-4,
+    weight_decay=0.0, ckpt_path=None, ckpt_config=None, **kw,
+) -> TrainResult:
+    tx = make_adam(weight_decay)
+    return run_training(
+        params=params, tx=tx, train_batches=train_batches,
+        val_batches=val_batches,
+        step_fn=neighborhood_step_fn(tgt_cfg, qry_cfg, query_batch, tx),
+        eval_fn=neighborhood_eval_fn(tgt_cfg, qry_cfg, query_batch),
+        epochs=epochs, lr=lr, ckpt_path=ckpt_path,
+        ckpt_config=ckpt_config, **kw)
+
+
+def predict_neighborhood_counts(params, tgt_cfg, qry_cfg, query_batch,
+                                batches: List[PackedGraphs]) -> np.ndarray:
+    stacked = jax.device_put(stack_batches(batches))
+
+    @jax.jit
+    def run(stacked):
+        return jax.lax.map(
+            lambda b: neigh_mod.predict_counts(
+                params, tgt_cfg, qry_cfg, b, query_batch), stacked)
+
+    preds = np.asarray(run(stacked))  # [B, G, Q]
+    out = []
+    for bi, b in enumerate(batches):
+        valid = np.asarray(b.graph_mask) > 0
+        out.append(preds[bi][valid])
+    return np.concatenate(out, axis=0)
+
+
+# ---------------------------------------------------------------- gossip
+def gossip_step_fn(dropout: float, query_embs, tx):
+    def step(params, opt_state, batch, lr, rng):
+        loss, grads = jax.value_and_grad(gossip_mod.gossip_loss)(
+            params, batch, query_embs, dropout, True, rng)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        updates = jax.tree_util.tree_map(lambda u: u * lr, updates)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+def gossip_eval_fn(query_embs):
+    def eval_one(params, batch):
+        loss = gossip_mod.gossip_loss(params, batch, query_embs)
+        return loss, jnp.float32(1.0)
+
+    return eval_one
+
+
+def train_gossip(
+    params, query_embs, train_batches, val_batches, *,
+    epochs=30, lr=1e-3, weight_decay=0.0, dropout=0.01,
+    ckpt_path=None, ckpt_config=None, **kw,
+) -> TrainResult:
+    tx = make_adam(weight_decay)
+    return run_training(
+        params=params, tx=tx, train_batches=train_batches,
+        val_batches=val_batches,
+        step_fn=gossip_step_fn(dropout, query_embs, tx),
+        eval_fn=gossip_eval_fn(query_embs),
+        epochs=epochs, lr=lr, ckpt_path=ckpt_path,
+        ckpt_config=ckpt_config, **kw)
+
+
+def predict_gossip_counts(params, query_embs,
+                          batches: List[PackedGraphs]) -> np.ndarray:
+    """(#total_nodes, Q) refined per-node counts in node order."""
+    stacked = jax.device_put(stack_batches(batches))
+
+    @jax.jit
+    def run(stacked):
+        return jax.lax.map(
+            lambda b: gossip_mod.gossip_predict(params, b, query_embs),
+            stacked)
+
+    preds = np.asarray(run(stacked))  # [B, N, Q]
+    out = []
+    for bi, b in enumerate(batches):
+        valid = np.asarray(b.node_mask) > 0
+        out.append(preds[bi][valid])
+    return np.concatenate(out, axis=0)

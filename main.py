@@ -1,0 +1,188 @@
+"""desco_tpu CLI driver — the counterpart of the reference's main.py.
+
+Usage (mirrors README.md:38,59 of the reference):
+    python main.py --train_neigh --train_gossip --test_gossip \
+        --train_dataset Syn_1827 --test_dataset MUTAG
+
+Pipeline: load datasets -> exact ground truth (C++ VF2) -> canonical
+partition -> train/eval SHMP neighborhood model -> scatter counts into
+gossip features -> train/eval gossip model -> CSV outputs + normed
+MSE/MAE per query size (reference main.py:31-517).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import datetime
+import json
+import os
+import sys
+
+import numpy as np
+
+from desco_tpu.config import build_parser, to_pipeline_config
+from desco_tpu.data.datasets import load_data
+from desco_tpu.graph.atlas import groupby_size
+from desco_tpu.models import neighborhood as neigh_mod
+from desco_tpu.models.shmp_gnn import SHMPConfig
+from desco_tpu.pipeline import (
+    build_query_batch,
+    evaluate_graphlet_counts,
+    model_configs,
+    neighborhood_predictions,
+    prepare_gossip_batches,
+    prepare_stage_data,
+    train_gossip_stage,
+    train_neighborhood_stage,
+)
+from desco_tpu.train.checkpoint import load_checkpoint
+from desco_tpu.train.loop import predict_gossip_counts
+from desco_tpu.models.gossip import gate_values, init_gossip_model
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = to_pipeline_config(args)
+
+    output_dir = args.output_dir or os.path.join(
+        "output", args.test_dataset,
+        datetime.datetime.now().strftime("%Y%m%d_%H%M%S"))
+    os.makedirs(output_dir, exist_ok=True)
+    with open(os.path.join(output_dir,
+                           f"config_{args.test_dataset}.txt"), "w") as f:
+        json.dump({"args": vars(args),
+                   "pipeline": dataclasses.asdict(cfg)}, f, indent=2)
+
+    # ---------------------------------------------------------- datasets
+    print(f"loading datasets: train={args.train_dataset} "
+          f"valid={args.valid_dataset} test={args.test_dataset}")
+    qb = build_query_batch(cfg)
+    tgt_cfg, qry_cfg = model_configs(cfg)
+
+    train_needed = args.train_neigh or args.train_gossip
+    if train_needed:
+        train_graphs = load_data(args.train_dataset + "_train",
+                                 cfg.data_root)
+        val_graphs = load_data(args.valid_dataset + "_val", cfg.data_root)
+        train_stage = prepare_stage_data(
+            cfg, train_graphs, args.train_dataset + "_train")
+        val_stage = prepare_stage_data(
+            cfg, val_graphs, args.valid_dataset + "_val")
+    test_graphs = load_data(args.test_dataset, cfg.data_root)
+    test_stage = prepare_stage_data(cfg, test_graphs, args.test_dataset)
+
+    # ---------------------------------------------- neighborhood stage
+    import jax
+
+    if args.train_neigh:
+        print("training neighborhood model...")
+        res, tgt_cfg, qry_cfg = train_neighborhood_stage(
+            cfg, train_stage, val_stage, qb,
+            ckpt_path=args.neigh_model_path)
+        neigh_params = res.best_params
+        print(f"best neighborhood val loss: {res.best_val:.5f}")
+    else:
+        ckpt = args.neigh_checkpoint
+        if ckpt is None:
+            raise SystemExit("need --train_neigh or --neigh_checkpoint")
+        template = neigh_mod.init_neighborhood_model(
+            jax.random.PRNGKey(0), tgt_cfg, qry_cfg)
+        neigh_params, _, _ = load_checkpoint(ckpt, template)
+        print(f"loaded neighborhood model from {ckpt}")
+
+    # stage-1 predictions
+    counts = {"test": neighborhood_predictions(
+        neigh_params, tgt_cfg, qry_cfg, qb, test_stage)}
+    if train_needed:
+        counts["train"] = neighborhood_predictions(
+            neigh_params, tgt_cfg, qry_cfg, qb, train_stage)
+        counts["val"] = neighborhood_predictions(
+            neigh_params, tgt_cfg, qry_cfg, qb, val_stage)
+
+    # ---------------------------------------------------- gossip stage
+    skip_gossip = not (args.train_gossip or args.test_gossip)
+    gossip_node_counts = None
+    if not skip_gossip:
+        test_gbatches = prepare_gossip_batches(cfg, test_stage,
+                                               counts["test"])
+        if args.train_gossip:
+            print("training gossip model...")
+            train_gb = prepare_gossip_batches(cfg, train_stage,
+                                              counts["train"])
+            val_gb = prepare_gossip_batches(cfg, val_stage, counts["val"])
+            gres, query_embs = train_gossip_stage(
+                cfg, neigh_params, tgt_cfg, qry_cfg, qb, train_gb, val_gb,
+                ckpt_path=args.gossip_model_path)
+            gossip_params = gres.best_params
+            print(f"best gossip val loss: {gres.best_val:.5f}")
+        else:
+            ckpt = args.gossip_checkpoint
+            if ckpt is None:
+                raise SystemExit(
+                    "need --train_gossip or --gossip_checkpoint")
+            template = init_gossip_model(
+                jax.random.PRNGKey(1), input_dim=1,
+                hidden_dim=cfg.gossip_hidden_dim,
+                emb_channels=cfg.neigh_hidden_dim,
+                layer_num=cfg.gossip_layer_num)
+            gossip_params, _, _ = load_checkpoint(ckpt, template)
+            query_embs = neigh_mod.embed_queries(neigh_params, qry_cfg, qb)
+            print(f"loaded gossip model from {ckpt}")
+
+        gossip_node_counts = predict_gossip_counts(
+            gossip_params, query_embs, test_gbatches)
+
+        # gossip gate analysis (main.py:432-439)
+        gates = np.asarray(gate_values(gossip_params, query_embs))
+        _save_csv(output_dir, f"gossip_gate_{args.test_dataset}.csv", gates)
+
+    # -------------------------------------------------------- outputs
+    wl = test_stage.workload
+    graphlet_neigh = wl.aggregate_neighborhood_counts(
+        counts["test"], test_stage.nindex)
+    _save_csv(output_dir, f"neighborhood_graphlet_{args.test_dataset}.csv",
+              np.round(np.maximum(graphlet_neigh, 0)))
+    _save_csv(output_dir, f"neighborhood_node_{args.test_dataset}_results.csv",
+              counts["test"])
+    _save_csv(output_dir, f"neighborhood_node_{args.test_dataset}_index.csv",
+              test_stage.nindex.index)
+    if gossip_node_counts is not None:
+        graphlet_gossip = wl.aggregate_node_counts(gossip_node_counts)
+        _save_csv(output_dir, f"gossip_graphlet_{args.test_dataset}.csv",
+                  np.round(np.maximum(graphlet_gossip, 0)))
+        _save_csv(output_dir, f"gossip_node_{args.test_dataset}_results.csv",
+                  gossip_node_counts)
+        truth_graphlet = wl.aggregate_node_counts(test_stage.truth)
+        _save_csv(output_dir, f"graphlet_count_{args.test_dataset}.csv",
+                  np.round(np.maximum(graphlet_gossip, 0)))
+        _save_csv(output_dir, f"graphlet_truth_{args.test_dataset}.csv",
+                  truth_graphlet)
+
+    # -------------------------------------------------------- analysis
+    metrics = evaluate_graphlet_counts(cfg, test_stage, counts["test"],
+                                       gossip_node_counts)
+    for k, v in metrics.items():
+        print(f"graphlet_{k}: {v}")
+    with open(os.path.join(
+            output_dir, f"analyze_results_{args.test_dataset}.txt"),
+            "w") as f:
+        for k, v in metrics.items():
+            f.write(f"graphlet_{k}: {v}\n")
+    print("done")
+    return 0
+
+
+def _save_csv(output_dir: str, name: str, arr: np.ndarray) -> None:
+    arr = np.asarray(arr)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    header = "," + ",".join(str(i) for i in range(arr.shape[1]))
+    rows = "\n".join(
+        f"{i}," + ",".join(repr(float(x)) for x in row)
+        for i, row in enumerate(arr))
+    with open(os.path.join(output_dir, name), "w") as f:
+        f.write(header + "\n" + rows + "\n")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,109 @@
+"""End-to-end pipeline on a tiny synthetic dataset: both stages train,
+losses decrease, predictions aggregate, metrics compute."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from desco_tpu.data.synthetic import generate_synthetic
+from desco_tpu.pipeline import (
+    PipelineConfig,
+    build_query_batch,
+    evaluate_graphlet_counts,
+    model_configs,
+    neighborhood_predictions,
+    prepare_gossip_batches,
+    prepare_stage_data,
+    train_gossip_stage,
+    train_neighborhood_stage,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg(tmp_path_factory):
+    return PipelineConfig(
+        query_sizes=(3,),
+        depth=3,
+        neigh_layer_num=2, neigh_hidden_dim=16,
+        neigh_epochs=8, neigh_batch_size=32, neigh_lr=1e-3,
+        gossip_layer_num=2, gossip_hidden_dim=16,
+        gossip_epochs=4, gossip_batch_size=8, gossip_lr=1e-3,
+        data_root=str(tmp_path_factory.mktemp("data")),
+    )
+
+
+@pytest.fixture(scope="module")
+def tiny_data(tiny_cfg):
+    graphs = generate_synthetic(16, min_size=8, max_size=16, seed=1)
+    train = prepare_stage_data(tiny_cfg, graphs[:10], "tiny_train")
+    val = prepare_stage_data(tiny_cfg, graphs[10:13], "tiny_val")
+    test = prepare_stage_data(tiny_cfg, graphs[13:], "tiny_test")
+    return train, val, test
+
+
+def test_groundtruth_cache_roundtrip(tiny_cfg, tiny_data):
+    train, _, _ = tiny_data
+    t2 = train.workload.compute_groundtruth(tiny_cfg.query_ids)
+    np.testing.assert_array_equal(t2, train.truth)
+
+
+def test_full_pipeline(tiny_cfg, tiny_data, tmp_path):
+    train, val, test = tiny_data
+    qb = build_query_batch(tiny_cfg)
+
+    res, tgt_cfg, qry_cfg = train_neighborhood_stage(
+        tiny_cfg, train, val, qb, log_fn=lambda *_: None)
+    assert res.train_losses[-1] < res.train_losses[0]
+    assert np.isfinite(res.best_val)
+
+    # stage-1 predictions for every split
+    counts = {}
+    for name, stage in [("train", train), ("val", val), ("test", test)]:
+        c = neighborhood_predictions(res.best_params, tgt_cfg, qry_cfg, qb,
+                                     stage)
+        assert c.shape == (len(stage.samples), len(tiny_cfg.query_ids))
+        counts[name] = c
+
+    gossip_batches = {
+        name: prepare_gossip_batches(tiny_cfg, stage, counts[name])
+        for name, stage in [("train", train), ("val", val), ("test", test)]
+    }
+    gres, query_embs = train_gossip_stage(
+        tiny_cfg, res.best_params, tgt_cfg, qry_cfg, qb,
+        gossip_batches["train"], gossip_batches["val"],
+        log_fn=lambda *_: None)
+    assert np.isfinite(gres.train_losses[-1])
+
+    from desco_tpu.train.loop import predict_gossip_counts
+
+    node_counts = predict_gossip_counts(gres.best_params, query_embs,
+                                        gossip_batches["test"])
+    assert node_counts.shape == (test.workload.total_nodes,
+                                 len(tiny_cfg.query_ids))
+
+    metrics = evaluate_graphlet_counts(tiny_cfg, test, counts["test"],
+                                       node_counts)
+    for k, v in metrics.items():
+        assert all(np.isfinite(x) for x in v), (k, v)
+
+
+def test_checkpoint_roundtrip(tiny_cfg, tiny_data, tmp_path):
+    import jax
+
+    from desco_tpu.models.neighborhood import init_neighborhood_model
+    from desco_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+
+    tgt_cfg, qry_cfg = model_configs(tiny_cfg)
+    params = init_neighborhood_model(jax.random.PRNGKey(7), tgt_cfg, qry_cfg)
+    path = str(tmp_path / "ck")
+    save_checkpoint(path, params,
+                    config=dataclasses.asdict(tiny_cfg))
+    template = init_neighborhood_model(jax.random.PRNGKey(8), tgt_cfg,
+                                       qry_cfg)
+    restored, _, meta = load_checkpoint(path, template)
+    flat1 = jax.tree_util.tree_leaves(params)
+    flat2 = jax.tree_util.tree_leaves(restored)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert meta["config"]["depth"] == tiny_cfg.depth
