@@ -142,20 +142,22 @@ def gossip_loss(params, batch: PackedGraphs, query_embs: jnp.ndarray,
     rngs = (jax.random.split(rng, n_q) if rng is not None
             else jnp.zeros((n_q, 2), dtype=jnp.uint32))
 
-    def one_query(carry, inp):
+    # carry-free scan (a scalar accumulator carry changes "varying axis"
+    # type under shard_map in JAX >= 0.9; stacked outputs don't)
+    def one_query(_, inp):
         q_emb, x_col, y_col, r = inp
         r = r if rng is not None else None
         gossip = apply_gossip_single(
             params, batch, x_col, q_emb, dropout, train, r)
         pred = gossip + x_col
         loss = jnp.log2(jnp.abs(pred - y_col) + 1.0)
-        return carry + (loss * batch.node_mask).sum(), None
+        return None, (loss * batch.node_mask).sum()
 
     one_query = jax.checkpoint(one_query)
-    total, _ = jax.lax.scan(
-        one_query, jnp.float32(0.0),
+    _, losses = jax.lax.scan(
+        one_query, None,
         (query_embs, batch.x.T, batch.node_y.T, rngs))
-    return total
+    return losses.sum()
 
 
 def gossip_predict(params, batch: PackedGraphs, query_embs: jnp.ndarray):

@@ -29,6 +29,7 @@ from ..batch.packed import PackedGraphs, stack_batches
 from ..models import gossip as gossip_mod
 from ..models import neighborhood as neigh_mod
 from ..models.shmp_gnn import SHMPConfig
+from ..parallel.dp import dp_step_fn, pad_batches_to_multiple, reshape_for_dp
 from .checkpoint import save_checkpoint
 from .schedule import ReduceLROnPlateau
 
@@ -74,11 +75,16 @@ def run_training(
     min_lr: float = 1e-5, factor: float = 0.5, patience: int = 20,
     seed: int = 0, ckpt_path: Optional[str] = None,
     ckpt_config: Optional[dict] = None,
-    log_every: int = 10, log_fn=print,
+    log_every: int = 10, log_fn=print, mesh=None,
 ) -> TrainResult:
     """Generic loop: step_fn(params, opt, batch, lr, rng) ->
-    (params, opt, loss); eval_fn(params, batch) -> (loss_sum, weight)."""
+    (params, opt, loss); eval_fn(params, batch) -> (loss_sum, weight).
+    With a mesh, step_fn must be a DP step (dp_step_fn) and batches are
+    grouped d-at-a-time along a sharded axis."""
     opt_state = tx.init(params)
+    n_dp = mesh.devices.size if mesh is not None else 1
+    if mesh is not None:
+        train_batches = pad_batches_to_multiple(train_batches, n_dp)
     train_stack = jax.device_put(stack_batches(train_batches))
     val_stack = jax.device_put(stack_batches(val_batches)) if val_batches else None
     n_train = len(train_batches)
@@ -106,6 +112,8 @@ def run_training(
         rng, shuffle_key, epoch_key = jax.random.split(rng, 3)
         perm = jax.random.permutation(shuffle_key, n_train)
         shuffled = jax.tree_util.tree_map(lambda x: x[perm], train_stack)
+        if mesh is not None:
+            shuffled = reshape_for_dp(shuffled, n_dp)
         params, opt_state, losses = epoch_jit(
             params, opt_state, shuffled, jnp.float32(sched.lr), epoch_key)
         tl = float(jnp.mean(losses))
@@ -133,11 +141,29 @@ def run_training(
 
 
 # ----------------------------------------------------------- neighborhood
+def neighborhood_loss_fn(tgt_cfg, qry_cfg, query_batch):
+    def f(params, batch, rng):
+        return neigh_mod.train_loss(params, tgt_cfg, qry_cfg, batch,
+                                    query_batch, rng=rng)
+
+    return f
+
+
+def neighborhood_loss_and_grads(tgt_cfg, qry_cfg, query_batch):
+    f = neighborhood_loss_fn(tgt_cfg, qry_cfg, query_batch)
+
+    def lg(params, batch, rng):
+        return jax.value_and_grad(f)(params, batch, rng)
+
+    return lg
+
+
 def neighborhood_step_fn(tgt_cfg: SHMPConfig, qry_cfg: SHMPConfig,
                          query_batch: PackedGraphs, tx):
+    lg = neighborhood_loss_and_grads(tgt_cfg, qry_cfg, query_batch)
+
     def step(params, opt_state, batch, lr, rng):
-        loss, grads = jax.value_and_grad(neigh_mod.train_loss)(
-            params, tgt_cfg, qry_cfg, batch, query_batch, rng=rng)
+        loss, grads = lg(params, batch, rng)
         updates, opt_state = tx.update(grads, opt_state, params)
         updates = jax.tree_util.tree_map(lambda u: u * lr, updates)
         params = optax.apply_updates(params, updates)
@@ -160,16 +186,22 @@ def neighborhood_eval_fn(tgt_cfg, qry_cfg, query_batch):
 def train_neighborhood(
     params, tgt_cfg, qry_cfg, query_batch,
     train_batches, val_batches, *, epochs=300, lr=1e-4,
-    weight_decay=0.0, ckpt_path=None, ckpt_config=None, **kw,
+    weight_decay=0.0, ckpt_path=None, ckpt_config=None, mesh=None, **kw,
 ) -> TrainResult:
     tx = make_adam(weight_decay)
+    if mesh is not None:
+        step = dp_step_fn(
+            neighborhood_loss_fn(tgt_cfg, qry_cfg, query_batch),
+            tx, mesh, weight_kind="graphs")
+    else:
+        step = neighborhood_step_fn(tgt_cfg, qry_cfg, query_batch, tx)
     return run_training(
         params=params, tx=tx, train_batches=train_batches,
         val_batches=val_batches,
-        step_fn=neighborhood_step_fn(tgt_cfg, qry_cfg, query_batch, tx),
+        step_fn=step,
         eval_fn=neighborhood_eval_fn(tgt_cfg, qry_cfg, query_batch),
         epochs=epochs, lr=lr, ckpt_path=ckpt_path,
-        ckpt_config=ckpt_config, **kw)
+        ckpt_config=ckpt_config, mesh=mesh, **kw)
 
 
 def predict_neighborhood_counts(params, tgt_cfg, qry_cfg, query_batch,
@@ -191,10 +223,28 @@ def predict_neighborhood_counts(params, tgt_cfg, qry_cfg, query_batch,
 
 
 # ---------------------------------------------------------------- gossip
+def gossip_loss_fn(dropout, query_embs):
+    def f(params, batch, rng):
+        return gossip_mod.gossip_loss(params, batch, query_embs, dropout,
+                                      True, rng)
+
+    return f
+
+
+def gossip_loss_and_grads(dropout, query_embs):
+    f = gossip_loss_fn(dropout, query_embs)
+
+    def lg(params, batch, rng):
+        return jax.value_and_grad(f)(params, batch, rng)
+
+    return lg
+
+
 def gossip_step_fn(dropout: float, query_embs, tx):
+    lg = gossip_loss_and_grads(dropout, query_embs)
+
     def step(params, opt_state, batch, lr, rng):
-        loss, grads = jax.value_and_grad(gossip_mod.gossip_loss)(
-            params, batch, query_embs, dropout, True, rng)
+        loss, grads = lg(params, batch, rng)
         updates, opt_state = tx.update(grads, opt_state, params)
         updates = jax.tree_util.tree_map(lambda u: u * lr, updates)
         params = optax.apply_updates(params, updates)
@@ -214,16 +264,21 @@ def gossip_eval_fn(query_embs):
 def train_gossip(
     params, query_embs, train_batches, val_batches, *,
     epochs=30, lr=1e-3, weight_decay=0.0, dropout=0.01,
-    ckpt_path=None, ckpt_config=None, **kw,
+    ckpt_path=None, ckpt_config=None, mesh=None, **kw,
 ) -> TrainResult:
     tx = make_adam(weight_decay)
+    if mesh is not None:
+        step = dp_step_fn(gossip_loss_fn(dropout, query_embs),
+                          tx, mesh, weight_kind="sum")
+    else:
+        step = gossip_step_fn(dropout, query_embs, tx)
     return run_training(
         params=params, tx=tx, train_batches=train_batches,
         val_batches=val_batches,
-        step_fn=gossip_step_fn(dropout, query_embs, tx),
+        step_fn=step,
         eval_fn=gossip_eval_fn(query_embs),
         epochs=epochs, lr=lr, ckpt_path=ckpt_path,
-        ckpt_config=ckpt_config, **kw)
+        ckpt_config=ckpt_config, mesh=mesh, **kw)
 
 
 def predict_gossip_counts(params, query_embs,
