@@ -8,4 +8,14 @@ data/graph parallelism) rather than ported from the reference's
 PyG/Lightning stack.
 """
 
+import os as _os
+import sys as _sys
+
+# NumPy madvises transparent hugepages for large buffers; with THP
+# "madvise" mode this host does synchronous compaction on fault and large
+# np.full/np.empty writes crawl at ~10MB/s (150x slowdown). Must be set
+# before numpy is first imported.
+if "numpy" not in _sys.modules:
+    _os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+
 __version__ = "0.1.0"

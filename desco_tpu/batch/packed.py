@@ -92,90 +92,93 @@ def pack_samples(
     g_cap: int,
     n_queries: int = 0,
 ) -> List[PackedGraphs]:
-    """Greedy sequential packing into fixed-capacity batches."""
-    batches: List[PackedGraphs] = []
-    cur: List[GraphSample] = []
-    n_used, e_used = 0, 0
-    for s in samples:
+    """Greedy sequential packing into fixed-capacity batches.
+
+    All batch arrays are carved out of ONE allocation per field (views
+    into a [B, cap] block): allocating hundreds of ~1MB arrays
+    individually is pathologically slow on this host's allocator, and a
+    single block also makes the later stack-for-scan copy contiguous.
+    """
+    # pass 1: batch boundaries
+    bounds: List[tuple] = []
+    start, n_used, e_used = 0, 0, 0
+    for i, s in enumerate(samples):
         if s.n_nodes > n_cap - 1 or s.n_edges > e_cap:
             raise ValueError(
                 f"sample with {s.n_nodes} nodes / {s.n_edges} edges exceeds "
                 f"capacities ({n_cap - 1}, {e_cap})"
             )
-        if (
-            cur
-            and (
-                n_used + s.n_nodes > n_cap - 1
-                or e_used + s.n_edges > e_cap
-                or len(cur) >= g_cap
-            )
+        if i > start and (
+            n_used + s.n_nodes > n_cap - 1
+            or e_used + s.n_edges > e_cap
+            or i - start >= g_cap
         ):
-            batches.append(_finalize(cur, n_cap, e_cap, g_cap, n_queries))
-            cur, n_used, e_used = [], 0, 0
-        cur.append(s)
+            bounds.append((start, i))
+            start, n_used, e_used = i, 0, 0
         n_used += s.n_nodes
         e_used += s.n_edges
-    if cur:
-        batches.append(_finalize(cur, n_cap, e_cap, g_cap, n_queries))
-    return batches
+    if start < len(samples):
+        bounds.append((start, len(samples)))
+    if not bounds:
+        return []
 
-
-def _finalize(
-    samples: List[GraphSample], n_cap: int, e_cap: int, g_cap: int,
-    n_queries: int,
-) -> PackedGraphs:
+    B = len(bounds)
     f_dim = samples[0].x.shape[1]
     pad_node = n_cap - 1
-
-    x = np.zeros((n_cap, f_dim), dtype=np.float32)
-    node_type = np.zeros(n_cap, dtype=np.int32)
-    node_graph = np.full(n_cap, g_cap, dtype=np.int32)
-    node_mask = np.zeros(n_cap, dtype=np.float32)
-    edge_src = np.full(e_cap, pad_node, dtype=np.int32)
-    edge_dst = np.full(e_cap, pad_node, dtype=np.int32)
-    edge_type = np.full(e_cap, PAD_EDGE_TYPE, dtype=np.int32)
-    graph_mask = np.zeros(g_cap, dtype=np.float32)
-
     has_y = samples[0].y is not None
     has_ny = samples[0].node_y is not None
-    y = np.zeros((g_cap, n_queries), dtype=np.float32) if has_y else None
-    node_y = np.zeros((n_cap, n_queries), dtype=np.float32) if has_ny else None
 
-    # concatenate
-    srcs, dsts, types = [], [], []
-    off = 0
-    for gi, s in enumerate(samples):
-        k = s.n_nodes
-        x[off:off + k] = s.x
-        node_type[off:off + k] = s.node_type
-        node_graph[off:off + k] = gi
-        node_mask[off:off + k] = 1.0
-        graph_mask[gi] = 1.0
-        if has_y:
-            y[gi] = s.y
-        if has_ny:
-            node_y[off:off + k] = s.node_y
-        srcs.append(s.edge_src + off)
-        dsts.append(s.edge_dst + off)
-        types.append(s.edge_type)
-        off += k
+    X = np.zeros((B, n_cap, f_dim), dtype=np.float32)
+    NT = np.zeros((B, n_cap), dtype=np.int32)
+    NG = np.full((B, n_cap), g_cap, dtype=np.int32)
+    NM = np.zeros((B, n_cap), dtype=np.float32)
+    ES = np.full((B, e_cap), pad_node, dtype=np.int32)
+    ED = np.full((B, e_cap), pad_node, dtype=np.int32)
+    ET = np.full((B, e_cap), PAD_EDGE_TYPE, dtype=np.int32)
+    GM = np.zeros((B, g_cap), dtype=np.float32)
+    Y = np.zeros((B, g_cap, n_queries), dtype=np.float32) if has_y else None
+    NY = np.zeros((B, n_cap, n_queries), dtype=np.float32) if has_ny else None
 
-    if srcs:
-        es = np.concatenate(srcs).astype(np.int32)
-        ed = np.concatenate(dsts).astype(np.int32)
-        et = np.concatenate(types).astype(np.int32)
-        # sort by (type, dst) so device segment ids are sorted
-        order = np.lexsort((ed, et))
-        m = len(es)
-        edge_src[:m] = es[order]
-        edge_dst[:m] = ed[order]
-        edge_type[:m] = et[order]
+    for bi, (lo, hi) in enumerate(bounds):
+        off = 0
+        srcs, dsts, types = [], [], []
+        for gi in range(hi - lo):
+            s = samples[lo + gi]
+            k = s.n_nodes
+            X[bi, off:off + k] = s.x
+            NT[bi, off:off + k] = s.node_type
+            NG[bi, off:off + k] = gi
+            NM[bi, off:off + k] = 1.0
+            GM[bi, gi] = 1.0
+            if has_y:
+                Y[bi, gi] = s.y
+            if has_ny:
+                NY[bi, off:off + k] = s.node_y
+            srcs.append(s.edge_src + off)
+            dsts.append(s.edge_dst + off)
+            types.append(s.edge_type)
+            off += k
+        if srcs:
+            es = np.concatenate(srcs).astype(np.int32)
+            ed = np.concatenate(dsts).astype(np.int32)
+            et = np.concatenate(types).astype(np.int32)
+            # sort by (type, dst) so device segment ids are sorted
+            order = np.lexsort((ed, et))
+            m = len(es)
+            ES[bi, :m] = es[order]
+            ED[bi, :m] = ed[order]
+            ET[bi, :m] = et[order]
 
-    return PackedGraphs(
-        x=x, node_type=node_type, node_graph=node_graph, node_mask=node_mask,
-        edge_src=edge_src, edge_dst=edge_dst, edge_type=edge_type,
-        graph_mask=graph_mask, y=y, node_y=node_y,
-    )
+    return [
+        PackedGraphs(
+            x=X[bi], node_type=NT[bi], node_graph=NG[bi], node_mask=NM[bi],
+            edge_src=ES[bi], edge_dst=ED[bi], edge_type=ET[bi],
+            graph_mask=GM[bi],
+            y=Y[bi] if has_y else None,
+            node_y=NY[bi] if has_ny else None,
+        )
+        for bi in range(B)
+    ]
 
 
 def auto_capacities(
@@ -196,7 +199,25 @@ def auto_capacities(
 
 
 def stack_batches(batches: List[PackedGraphs]) -> PackedGraphs:
-    """Stack same-shape batches along a new leading axis (for scan/DP)."""
+    """Stack same-shape batches along a new leading axis (for scan/DP).
+
+    When the batches are consecutive views into one block (as produced by
+    ``pack_samples``), the block is returned directly instead of copying —
+    fresh memory on this host faults in at ~10MB/s, so avoiding a second
+    materialization of hundreds of MB matters a lot.
+    """
     import jax
 
-    return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *batches)
+    def stack(*xs):
+        base = xs[0].base
+        if (
+            base is not None
+            and base.ndim == xs[0].ndim + 1
+            and base.shape[0] >= len(xs)
+            and all(x.base is base for x in xs)
+            and all(np.shares_memory(x, base[i]) for i, x in enumerate(xs))
+        ):
+            return base[:len(xs)]
+        return np.stack(xs)
+
+    return jax.tree_util.tree_map(stack, *batches)

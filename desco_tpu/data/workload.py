@@ -115,27 +115,84 @@ class Workload:
             np.array(index, dtype=np.int64).reshape(-1, 2),
             np.array(indicator, dtype=bool))
 
+    def _neigh_cache_path(self, depth, use_tconv, use_hetero) -> str:
+        # keyed by depth/typing flags like the reference's processed file
+        # names (workload.py:197-213)
+        suffix = ("" if use_hetero else "_homo") + (
+            "_tconv" if use_tconv else "")
+        return os.path.join(
+            self.root, "NeighborhoodDataset",
+            f"neighs_depth_{depth}{suffix}.npz")
+
     def neighborhood_samples(
         self, depth: int, query_ids: Sequence[int],
         use_tconv: bool = True, use_hetero: bool = True,
         truth: Optional[np.ndarray] = None,
         num_workers: Optional[int] = None,
+        use_cache: bool = True,
     ) -> tuple[List[GraphSample], NeighborhoodIndex]:
         """Canonical-neighborhood GraphSamples with truth labels attached
-        (the reference's NeighborhoodDataset, workload.py:153-324)."""
+        (the reference's NeighborhoodDataset, workload.py:153-324).
+        Structure (not labels) is cached on disk; truth columns are
+        re-applied per query set."""
         if truth is None:
             truth = self.compute_groundtruth(query_ids,
                                              num_workers=num_workers)
-        neighs, nindex = self.extract_neighborhoods(depth)
-        samples = []
-        for nb in neighs:
-            y = truth[self.node_offsets[nb.gid] + nb.vid].astype(np.float32)
-            if use_hetero:
-                s = neighborhood_sample(nb, use_tconv=use_tconv, y=y)
-            else:
-                s = homogeneous_neighborhood_sample(nb, y=y)
-            samples.append(s)
+        cache = self._neigh_cache_path(depth, use_tconv, use_hetero)
+        if use_cache and os.path.exists(cache):
+            samples, nindex = self._load_neigh_cache(cache)
+        else:
+            neighs, nindex = self.extract_neighborhoods(depth)
+            samples = []
+            for nb in neighs:
+                if use_hetero:
+                    s = neighborhood_sample(nb, use_tconv=use_tconv)
+                else:
+                    s = homogeneous_neighborhood_sample(nb)
+                samples.append(s)
+            if use_cache:
+                self._save_neigh_cache(cache, samples, nindex)
+        for s, (gid, vid) in zip(samples, nindex.index):
+            s.y = truth[self.node_offsets[gid] + vid].astype(np.float32)
         return samples, nindex
+
+    def _save_neigh_cache(self, path, samples, nindex) -> None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        np.savez_compressed(
+            path,
+            n_nodes=np.array([s.n_nodes for s in samples], np.int32),
+            n_edges=np.array([s.n_edges for s in samples], np.int32),
+            node_type=np.concatenate(
+                [s.node_type for s in samples]) if samples else
+            np.zeros(0, np.int32),
+            x=np.concatenate([s.x for s in samples]) if samples else
+            np.zeros((0, 1), np.float32),
+            edge_src=np.concatenate(
+                [s.edge_src for s in samples]) if samples else
+            np.zeros(0, np.int32),
+            edge_dst=np.concatenate(
+                [s.edge_dst for s in samples]) if samples else
+            np.zeros(0, np.int32),
+            edge_type=np.concatenate(
+                [s.edge_type for s in samples]) if samples else
+            np.zeros(0, np.int32),
+            index=nindex.index, indicator=nindex.indicator)
+
+    def _load_neigh_cache(self, path):
+        z = np.load(path)
+        n_nodes, n_edges = z["n_nodes"], z["n_edges"]
+        no = np.concatenate([[0], np.cumsum(n_nodes)])
+        eo = np.concatenate([[0], np.cumsum(n_edges)])
+        samples = []
+        for i in range(len(n_nodes)):
+            samples.append(GraphSample(
+                node_type=z["node_type"][no[i]:no[i + 1]],
+                x=z["x"][no[i]:no[i + 1]],
+                edge_src=z["edge_src"][eo[i]:eo[i + 1]],
+                edge_dst=z["edge_dst"][eo[i]:eo[i + 1]],
+                edge_type=z["edge_type"][eo[i]:eo[i + 1]],
+            ))
+        return samples, NeighborhoodIndex(z["index"], z["indicator"])
 
     # ---------------------------------------------------------- gossip
     def gossip_samples(
