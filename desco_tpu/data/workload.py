@@ -122,7 +122,7 @@ class Workload:
             "_tconv" if use_tconv else "")
         return os.path.join(
             self.root, "NeighborhoodDataset",
-            f"neighs_depth_{depth}{suffix}.npz")
+            f"neighs_depth_{depth}{suffix}")
 
     def neighborhood_samples(
         self, depth: int, query_ids: Sequence[int],
@@ -157,42 +157,85 @@ class Workload:
         return samples, nindex
 
     def _save_neigh_cache(self, path, samples, nindex) -> None:
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        np.savez_compressed(
-            path,
-            n_nodes=np.array([s.n_nodes for s in samples], np.int32),
-            n_edges=np.array([s.n_edges for s in samples], np.int32),
-            node_type=np.concatenate(
+        # a directory of raw .npy files: loads back as file-backed memmaps
+        # (anonymous memory on this host faults in at ~9MB/s; file pages
+        # come from the page cache at full speed)
+        os.makedirs(path, exist_ok=True)
+        fields = {
+            "n_nodes": np.array([s.n_nodes for s in samples], np.int32),
+            "n_edges": np.array([s.n_edges for s in samples], np.int32),
+            "node_type": np.concatenate(
                 [s.node_type for s in samples]) if samples else
             np.zeros(0, np.int32),
-            x=np.concatenate([s.x for s in samples]) if samples else
+            "x": np.concatenate([s.x for s in samples]) if samples else
             np.zeros((0, 1), np.float32),
-            edge_src=np.concatenate(
+            "edge_src": np.concatenate(
                 [s.edge_src for s in samples]) if samples else
             np.zeros(0, np.int32),
-            edge_dst=np.concatenate(
+            "edge_dst": np.concatenate(
                 [s.edge_dst for s in samples]) if samples else
             np.zeros(0, np.int32),
-            edge_type=np.concatenate(
+            "edge_type": np.concatenate(
                 [s.edge_type for s in samples]) if samples else
             np.zeros(0, np.int32),
-            index=nindex.index, indicator=nindex.indicator)
+            "index": nindex.index, "indicator": nindex.indicator,
+        }
+        for k, v in fields.items():
+            np.save(os.path.join(path, k + ".npy"), v)
 
     def _load_neigh_cache(self, path):
-        z = np.load(path)
-        n_nodes, n_edges = z["n_nodes"], z["n_edges"]
+        def ld(k, mmap=True):
+            return np.load(os.path.join(path, k + ".npy"),
+                           mmap_mode="r" if mmap else None)
+
+        n_nodes = np.asarray(ld("n_nodes", mmap=False))
+        n_edges = np.asarray(ld("n_edges", mmap=False))
         no = np.concatenate([[0], np.cumsum(n_nodes)])
         eo = np.concatenate([[0], np.cumsum(n_edges)])
+        nt, x = ld("node_type"), ld("x")
+        es, ed, et = ld("edge_src"), ld("edge_dst"), ld("edge_type")
         samples = []
         for i in range(len(n_nodes)):
             samples.append(GraphSample(
-                node_type=z["node_type"][no[i]:no[i + 1]],
-                x=z["x"][no[i]:no[i + 1]],
-                edge_src=z["edge_src"][eo[i]:eo[i + 1]],
-                edge_dst=z["edge_dst"][eo[i]:eo[i + 1]],
-                edge_type=z["edge_type"][eo[i]:eo[i + 1]],
+                node_type=nt[no[i]:no[i + 1]],
+                x=x[no[i]:no[i + 1]],
+                edge_src=es[eo[i]:eo[i + 1]],
+                edge_dst=ed[eo[i]:eo[i + 1]],
+                edge_type=et[eo[i]:eo[i + 1]],
             ))
-        return samples, NeighborhoodIndex(z["index"], z["indicator"])
+        return samples, NeighborhoodIndex(
+            np.asarray(ld("index", mmap=False)),
+            np.asarray(ld("indicator", mmap=False)))
+
+    # ------------------------------------------------- wo-canonical mode
+    def wo_canonical_samples(
+        self, query_ids: Sequence[int],
+        use_tconv: bool = True,
+        truth: Optional[np.ndarray] = None,
+        num_workers: Optional[int] = None,
+    ) -> List[GraphSample]:
+        """Whole-graph samples for the no-canonical-partition ablation
+        (reference Workload_baseline.generate_wo_canonical_dataset,
+        workload.py:800-833): each target graph becomes ONE untyped
+        (union_node) sample labeled with its graph-level counts.
+
+        Labels here are RAW graphlet counts; the standard training path
+        applies log2(+1) once. (The reference stores y=log2(count+1) and
+        its unchanged train_forward logs again — a double-log we do not
+        reproduce.)
+        """
+        from ..batch.build import query_sample
+
+        if truth is None:
+            truth = self.compute_groundtruth(query_ids,
+                                             num_workers=num_workers)
+        graphlet = self.aggregate_node_counts(truth)
+        samples = []
+        for gid, g in enumerate(self.graphs):
+            s = query_sample(g, use_tconv=use_tconv)
+            s.y = graphlet[gid].astype(np.float32)
+            samples.append(s)
+        return samples
 
     # ---------------------------------------------------------- gossip
     def gossip_samples(
