@@ -86,7 +86,8 @@ def neighborhood_sample(
     )
 
 
-def query_sample(q: Graph, use_tconv: bool = True, f_dim: int = 1) -> GraphSample:
+def query_sample(q: Graph, use_tconv: bool = True, f_dim: int = 1,
+                 x: "Optional[np.ndarray]" = None) -> GraphSample:
     node_type = np.zeros(q.n_nodes, dtype=np.int32)
     src, dst, eid = _directed(q.edges)
     if use_tconv:
@@ -94,9 +95,12 @@ def query_sample(q: Graph, use_tconv: bool = True, f_dim: int = 1) -> GraphSampl
         etype = np.where(tri, 0, 1).astype(np.int32)
     else:
         etype = np.zeros(len(src), dtype=np.int32)
-    x = np.zeros((q.n_nodes, f_dim), dtype=np.float32)
+    if x is None:
+        x = (q.node_feat if q.node_feat is not None
+             else np.zeros((q.n_nodes, f_dim)))
     return GraphSample(
-        node_type=node_type, x=x, edge_src=src, edge_dst=dst, edge_type=etype,
+        node_type=node_type, x=x.astype(np.float32),
+        edge_src=src, edge_dst=dst, edge_type=etype,
     )
 
 

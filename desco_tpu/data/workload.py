@@ -84,6 +84,48 @@ class Workload:
             np.save(path, truth)
         return truth
 
+    def compute_groundtruth_labeled(
+        self, queries: List[Graph],
+        num_workers: Optional[int] = None,
+        use_cache: bool = True,
+    ) -> np.ndarray:
+        """(total_nodes, len(queries)) canonical counts under node-label
+        matching (the use_node_feature mode, workload.py:336-341,
+        551-726). ``queries`` and ``self.graphs`` carry one-hot
+        ``node_feat``; labels are the argmax."""
+        sig = ("query_num_{:d}_query_len_sum_{:d}_node_feat"
+               .format(len(queries), sum(q.n_nodes for q in queries)))
+        path = os.path.join(self.root, "CanonicalCountTruth", sig + ".npy")
+        if use_cache and os.path.exists(path):
+            truth = np.load(path)
+            if truth.shape == (self.total_nodes, len(queries)):
+                return truth
+        from ..truth.vf2 import count_induced_embeddings
+
+        q_labels = [q.node_feat.argmax(-1).astype(np.int32)
+                    for q in queries]
+        t_labels = [g.node_feat.argmax(-1).astype(np.int32)
+                    for g in self.graphs]
+        sf = [max(symmetric_factor(q, ql), 1)
+              for q, ql in zip(queries, q_labels)]
+        use_native = truth_native.native_available()
+        out = np.zeros((self.total_nodes, len(queries)), np.float64)
+        for gi, g in enumerate(self.graphs):
+            lo = self.node_offsets[gi]
+            for qi, q in enumerate(queries):
+                per = np.zeros(g.n_nodes, np.int64)
+                if use_native:
+                    truth_native.vf2_count_native(
+                        g, q, per, t_labels[gi], q_labels[qi])
+                else:
+                    count_induced_embeddings(g, q, per, t_labels[gi],
+                                             q_labels[qi])
+                out[lo:lo + g.n_nodes, qi] = per / sf[qi]
+        if use_cache:
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            np.save(path, out)
+        return out
+
     # ---------------------------------------------------- neighborhoods
     def extract_neighborhoods(self, depth: int):
         """(neighborhoods, NeighborhoodIndex) via the native kernel when
@@ -115,11 +157,13 @@ class Workload:
             np.array(index, dtype=np.int64).reshape(-1, 2),
             np.array(indicator, dtype=bool))
 
-    def _neigh_cache_path(self, depth, use_tconv, use_hetero) -> str:
+    def _neigh_cache_path(self, depth, use_tconv, use_hetero,
+                          use_node_feat=False) -> str:
         # keyed by depth/typing flags like the reference's processed file
         # names (workload.py:197-213)
         suffix = ("" if use_hetero else "_homo") + (
-            "_tconv" if use_tconv else "")
+            "_tconv" if use_tconv else "") + (
+            "_node_feat" if use_node_feat else "")
         return os.path.join(
             self.root, "NeighborhoodDataset",
             f"neighs_depth_{depth}{suffix}")
@@ -130,6 +174,7 @@ class Workload:
         truth: Optional[np.ndarray] = None,
         num_workers: Optional[int] = None,
         use_cache: bool = True,
+        use_node_feat: bool = False,
     ) -> tuple[List[GraphSample], NeighborhoodIndex]:
         """Canonical-neighborhood GraphSamples with truth labels attached
         (the reference's NeighborhoodDataset, workload.py:153-324).
@@ -138,15 +183,19 @@ class Workload:
         if truth is None:
             truth = self.compute_groundtruth(query_ids,
                                              num_workers=num_workers)
-        cache = self._neigh_cache_path(depth, use_tconv, use_hetero)
+        cache = self._neigh_cache_path(depth, use_tconv, use_hetero,
+                                       use_node_feat)
         if use_cache and os.path.exists(cache):
             samples, nindex = self._load_neigh_cache(cache)
         else:
             neighs, nindex = self.extract_neighborhoods(depth)
             samples = []
             for nb in neighs:
+                feat = (self.graphs[nb.gid].node_feat[nb.nodes]
+                        if use_node_feat else None)
                 if use_hetero:
-                    s = neighborhood_sample(nb, use_tconv=use_tconv)
+                    s = neighborhood_sample(nb, use_tconv=use_tconv,
+                                            x=feat)
                 else:
                     s = homogeneous_neighborhood_sample(nb)
                 samples.append(s)

@@ -64,6 +64,21 @@ def query_sizes(query_ids: List[int]) -> np.ndarray:
     return np.array([graph_atlas_plus(i).number_of_nodes() for i in query_ids])
 
 
+def expand_query_labels(q: Graph, n_labels: int) -> List[Graph]:
+    """All ``n_labels ** k`` node-labeled variants of a query, as Graphs
+    with one-hot ``node_feat`` — the reference's node-featured query
+    expansion (add_node_feat_to_networkx, utils.py:258-272). Exponential;
+    only sensible for small label sets."""
+    import itertools
+
+    eye = np.eye(n_labels, dtype=np.float32)
+    out = []
+    for assign in itertools.product(range(n_labels), repeat=q.n_nodes):
+        g = Graph(q.n_nodes, q.edges.copy(), eye[list(assign)])
+        out.append(g)
+    return out
+
+
 def groupby_size(query_ids: List[int]) -> List[List[int]]:
     """Group query indices by query size, sizes ascending — the grouping
     used for the paper's per-size normed-MSE metric (main.py:463-469)."""

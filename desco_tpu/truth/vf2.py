@@ -52,14 +52,18 @@ def _match_order(q: Graph) -> List[int]:
 
 
 def count_induced_embeddings(
-    target: Graph, query: Graph, per_max_node: Optional[np.ndarray] = None
+    target: Graph, query: Graph, per_max_node: Optional[np.ndarray] = None,
+    target_labels: Optional[np.ndarray] = None,
+    query_labels: Optional[np.ndarray] = None,
 ) -> int:
     """Count node-induced embeddings of ``query`` in ``target``.
 
     If ``per_max_node`` (int64, len n_target) is given, each embedding also
     increments the slot of its maximum target node — the canonical
-    attribution rule (workload.py:345-347). Returns the total count (NOT
-    divided by the automorphism factor).
+    attribution rule (workload.py:345-347). Optional integer node labels
+    must match under the mapping (the use_node_feature mode,
+    workload.py:336-341). Returns the total count (NOT divided by the
+    automorphism factor).
     """
     nq, nt = query.n_nodes, target.n_nodes
     if nq > nt:
@@ -109,6 +113,9 @@ def count_induced_embeddings(
                 continue
             if tdeg[t] < qdeg[qn]:
                 continue
+            if query_labels is not None and \
+                    query_labels[qn] != target_labels[t]:
+                continue
             ok = True
             ta = tadj[t]
             for j in range(i):
@@ -133,9 +140,11 @@ def _bits(x: int):
         x ^= lsb
 
 
-def symmetric_factor(query: Graph) -> int:
-    """|Aut(query)|: induced embeddings of the query into itself."""
-    return count_induced_embeddings(query, query)
+def symmetric_factor(query: Graph,
+                     labels: Optional[np.ndarray] = None) -> int:
+    """|Aut(query)| (label-preserving when labels given): induced
+    embeddings of the query into itself (data.py:61-66)."""
+    return count_induced_embeddings(query, query, None, labels, labels)
 
 
 def canonical_counts(
