@@ -1,0 +1,139 @@
+"""Baseline driver: whole-graph counting with DIAMNet.
+
+Counterpart of the reference's baseline.py (57-312): graph-level
+(graphlet) counting with a GIN-embedding + DIAMNet memory-attention
+counter, trained/evaluated on the standard queries. (The LRP baseline is
+not shipped yet — see reference LRP_dataset.py / gnn_model.py:466-799.)
+
+Usage: python baseline.py --baseline DIAMNET --train_dataset Syn_64
+       --test_dataset Syn_64_test [--epoch_num N] ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--baseline", type=str, default="DIAMNET",
+                   choices=["DIAMNET"])
+    p.add_argument("--train_dataset", type=str, default="Syn_64")
+    p.add_argument("--valid_dataset", type=str, default=None)
+    p.add_argument("--test_dataset", type=str, default="Syn_64")
+    p.add_argument("--query_sizes", type=int, nargs="+", default=[3, 4, 5])
+    p.add_argument("--conv_type", type=str, default="GIN")
+    p.add_argument("--layer_num", type=int, default=3)
+    p.add_argument("--hidden_dim", type=int, default=64)
+    p.add_argument("--epoch_num", type=int, default=100)
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--data_root", type=str, default="data")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+    args.valid_dataset = args.valid_dataset or args.train_dataset
+
+    import jax
+    import optax
+
+    from desco_tpu.analysis import mae, norm_mse, round_relu
+    from desco_tpu.batch.build import query_sample
+    from desco_tpu.batch.packed import auto_capacities, pack_samples
+    from desco_tpu.data.datasets import load_data
+    from desco_tpu.data.workload import Workload
+    from desco_tpu.graph.atlas import gen_queries, gen_query_ids, groupby_size
+    from desco_tpu.models.baseline_diamnet import (
+        DIAMNetConfig,
+        diamnet_forward,
+        diamnet_tower_config,
+        diamnet_train_loss,
+        init_diamnet_pipeline,
+        node_positions,
+    )
+
+    qids = gen_query_ids(args.query_sizes)
+    queries = gen_queries(qids)
+
+    def stage(name):
+        graphs = load_data(name, args.data_root)
+        wl = Workload(graphs, root=f"{args.data_root}/{name}", name=name)
+        truth = wl.compute_groundtruth(qids)
+        samples = wl.wo_canonical_samples(qids, use_tconv=False,
+                                          truth=truth)
+        caps = auto_capacities(samples, g_cap=args.batch_size)
+        batches = pack_samples(samples, *caps, n_queries=len(qids))
+        return wl, batches
+
+    _, train_b = stage(args.train_dataset + "_train")
+    _, val_b = stage(args.valid_dataset + "_val")
+    wl_te, test_b = stage(args.test_dataset)
+
+    qs = [query_sample(q, use_tconv=False) for q in queries]
+    [qb] = pack_samples(qs, *auto_capacities(qs, g_cap=len(qs)))
+    q_pos = node_positions(qb)
+    q_seq_len = max(args.query_sizes)
+
+    tower_cfg = diamnet_tower_config(args.hidden_dim, args.layer_num,
+                                     args.conv_type)
+    dn_cfg = DIAMNetConfig(pattern_dim=args.hidden_dim,
+                           graph_dim=args.hidden_dim,
+                           hidden_dim=args.hidden_dim)
+    params = init_diamnet_pipeline(jax.random.PRNGKey(args.seed),
+                                   tower_cfg, dn_cfg)
+
+    # sequence length = max nodes of any single graph across all splits
+    seq_len = max(
+        int(np.bincount(np.asarray(b.node_graph)[
+            np.asarray(b.node_mask) > 0]).max())
+        for b in train_b + val_b + test_b)
+
+    tx = optax.adam(args.lr)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt, b, pos):
+        def lf(p):
+            return diamnet_train_loss(p, tower_cfg, dn_cfg, b, pos,
+                                      seq_len, qb, q_pos, q_seq_len)
+
+        loss, g = jax.value_and_grad(lf)(params)
+        u, opt = tx.update(g, opt, params)
+        return optax.apply_updates(params, u), opt, loss
+
+    positions = [jax.numpy.asarray(node_positions(b)) for b in train_b]
+    for epoch in range(args.epoch_num):
+        losses = []
+        for b, pos in zip(train_b, positions):
+            params, opt, loss = step(params, opt, b, pos)
+            losses.append(float(loss))
+        if epoch % 10 == 0 or epoch == args.epoch_num - 1:
+            print(f"epoch {epoch:4d} train {np.mean(losses):.5f}")
+
+    # evaluate: de-logged graphlet counts
+    @jax.jit
+    def predict(params, b, pos):
+        pred = diamnet_forward(params, tower_cfg, dn_cfg, b, pos, seq_len,
+                               qb, q_pos, q_seq_len)
+        return 2.0 ** pred - 1.0
+
+    preds, truths = [], []
+    for b in test_b:
+        pos = jax.numpy.asarray(node_positions(b))
+        out = np.asarray(predict(params, b, pos))
+        valid = np.asarray(b.graph_mask) > 0
+        preds.append(out[valid])
+        truths.append(np.asarray(b.y)[valid])
+    preds = np.concatenate(preds)
+    truths = np.concatenate(truths)
+    groups = groupby_size(qids)
+    print("DIAMNET graphlet_norm_mse:",
+          norm_mse(round_relu(preds), truths, groups))
+    print("DIAMNET graphlet_mae:", mae(round_relu(preds), truths, groups))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

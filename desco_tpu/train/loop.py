@@ -92,14 +92,17 @@ def run_training(
     epoch_jit = jax.jit(partial(_scan_epoch, step_fn))
 
     @jax.jit
-    def _val_loss(params):
+    def _val_loss(params, val_stack):
+        # val_stack must be an ARGUMENT: a closure would bake hundreds of
+        # MB of batches into the program as constants (the axon remote
+        # compiler rejects such payloads outright)
         sums, weights = jax.lax.map(partial(eval_fn, params), val_stack)
         return jnp.sum(sums) / jnp.maximum(jnp.sum(weights), 1.0)
 
     def val_loss(params):
         if val_stack is None:
             return float("nan")
-        return float(_val_loss(params))
+        return float(_val_loss(params, val_stack))
 
     sched = ReduceLROnPlateau(lr=lr, factor=factor, patience=patience,
                               min_lr=min_lr)
