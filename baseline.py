@@ -1,11 +1,11 @@
-"""Baseline driver: whole-graph counting with DIAMNet.
+"""Baseline driver: whole-graph counting with DIAMNet or LRP.
 
 Counterpart of the reference's baseline.py (57-312): graph-level
-(graphlet) counting with a GIN-embedding + DIAMNet memory-attention
-counter, trained/evaluated on the standard queries. (The LRP baseline is
-not shipped yet — see reference LRP_dataset.py / gnn_model.py:466-799.)
+(graphlet) counting with either the GIN-embedding + DIAMNet
+memory-attention counter or Local Relational Pooling, trained/evaluated
+on the standard queries with log2(+1) smooth-L1 semantics.
 
-Usage: python baseline.py --baseline DIAMNET --train_dataset Syn_64
+Usage: python baseline.py --baseline DIAMNET|LRP --train_dataset Syn_64
        --test_dataset Syn_64_test [--epoch_num N] ...
 """
 
@@ -20,7 +20,7 @@ import numpy as np
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--baseline", type=str, default="DIAMNET",
-                   choices=["DIAMNET"])
+                   choices=["DIAMNET", "LRP"])
     p.add_argument("--train_dataset", type=str, default="Syn_64")
     p.add_argument("--valid_dataset", type=str, default=None)
     p.add_argument("--test_dataset", type=str, default="Syn_64")
@@ -70,6 +70,9 @@ def main(argv=None) -> int:
     _, train_b = stage(args.train_dataset + "_train")
     _, val_b = stage(args.valid_dataset + "_val")
     wl_te, test_b = stage(args.test_dataset)
+
+    if args.baseline == "LRP":
+        return run_lrp(args, qids, train_b, val_b, wl_te, test_b)
 
     qs = [query_sample(q, use_tconv=False) for q in queries]
     [qb] = pack_samples(qs, *auto_capacities(qs, g_cap=len(qs)))
@@ -132,6 +135,79 @@ def main(argv=None) -> int:
     print("DIAMNET graphlet_norm_mse:",
           norm_mse(round_relu(preds), truths, groups))
     print("DIAMNET graphlet_mae:", mae(round_relu(preds), truths, groups))
+    return 0
+
+
+def run_lrp(args, qids, train_b, val_b, wl_te, test_b) -> int:
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from desco_tpu.analysis import mae, norm_mse, round_relu
+    from desco_tpu.graph.atlas import groupby_size
+    from desco_tpu.models.lrp import (
+        LRPConfig,
+        apply_lrp_batch,
+        init_lrp,
+        lrp_arrays_for_batch,
+    )
+    from desco_tpu.models.neighborhood import smooth_l1
+
+    cfg = LRPConfig(hid_dim=args.hidden_dim, num_layers=args.layer_num,
+                    num_tasks=len(qids))
+    params = init_lrp(jax.random.PRNGKey(args.seed), cfg)
+
+    def prep(batches):
+        arrs = [lrp_arrays_for_batch(b, cfg) for b in batches]
+        p_cap = max(a[0].shape[0] for a in arrs)
+        p_cap = ((p_cap + 127) // 128) * 128
+        return [lrp_arrays_for_batch(b, cfg, p_cap=p_cap)
+                for b in batches], p_cap
+
+    train_arrs, _ = prep(train_b)
+    test_arrs, _ = prep(test_b)
+
+    def loss_fn(params, b, pn, pa, po, dg):
+        pred = apply_lrp_batch(params, cfg, b, pn, pa, po, dg)
+        target = jnp.log2(b.y + 1.0)
+        m = b.graph_mask
+        per_q = (smooth_l1(pred, target) * m[:, None]).sum(0) / \
+            jnp.maximum(m.sum(), 1.0)
+        return per_q.mean()
+
+    tx = optax.adam(args.lr)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt, b, pn, pa, po, dg):
+        loss, g = jax.value_and_grad(loss_fn)(params, b, pn, pa, po, dg)
+        u, opt = tx.update(g, opt, params)
+        return optax.apply_updates(params, u), opt, loss
+
+    for epoch in range(args.epoch_num):
+        losses = []
+        for b, (pn, pa, po, dg) in zip(train_b, train_arrs):
+            params, opt, loss = step(params, opt, b, pn, pa, po, dg)
+            losses.append(float(loss))
+        if epoch % 10 == 0 or epoch == args.epoch_num - 1:
+            print(f"epoch {epoch:4d} train {np.mean(losses):.5f}")
+
+    @jax.jit
+    def predict(params, b, pn, pa, po, dg):
+        return 2.0 ** apply_lrp_batch(params, cfg, b, pn, pa, po, dg) - 1.0
+
+    preds, truths = [], []
+    for b, (pn, pa, po, dg) in zip(test_b, test_arrs):
+        out = np.asarray(predict(params, b, pn, pa, po, dg))
+        valid = np.asarray(b.graph_mask) > 0
+        preds.append(out[valid])
+        truths.append(np.asarray(b.y)[valid])
+    preds = np.concatenate(preds)
+    truths = np.concatenate(truths)
+    groups = groupby_size(qids)
+    print("LRP graphlet_norm_mse:",
+          norm_mse(round_relu(preds), truths, groups))
+    print("LRP graphlet_mae:", mae(round_relu(preds), truths, groups))
     return 0
 
 

@@ -1,0 +1,277 @@
+"""LRP baseline: Local Relational Pooling.
+
+TPU-native rebuild of the reference's LRP stack
+(/root/reference/subgraph_counting/LRP_dataset.py:310-390 preprocessing,
+gnn_model.py:466-799 layers/module): per-node egonet permutation
+sequences (depth 1, up to ``width`` ordered neighbors -> subtensor length
+4), a learned [h, h, 16] contraction per permutation, mean-pooling back
+to nodes, and a degree-factor MLP.
+
+Structural redesign for TPU: the reference materializes per-permutation
+SPARSE matrices mapping node/edge features into [P*16, ...] and drives
+``torch_sparse.spmm`` (gnn_model.py:503-520). Since the edge features are
+the CONSTANT ``edge_encoder(1)`` vector (gnn_model.py:697 hard-codes
+edge feat 1), the whole permutation tensor is determined by
+
+    perm_nodes [P, S]   — ordered node ids (-1 pad)
+    perm_adj   [P, S, S]— adjacency pattern among them
+
+and the [P, 16, h] tensor is assembled densely: diagonal slots take node
+features, off-diagonal slots take the shared edge vector where an edge
+exists. The per-perm contraction out[p,c] = sum_{a,b} nf[p,a,b]·W[b,c,a]
+is one [P, 16h] x [16h, h] matmul — pure MXU, no sparse ops.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from itertools import permutations
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph.container import Graph
+from .init import linear_params
+
+
+@dataclasses.dataclass(frozen=True)
+class LRPConfig:
+    sub_len: int = 4           # subtensor length S (perm slots)
+    width: int = 3             # ordered neighbors per sequence
+    hid_dim: int = 16
+    num_layers: int = 4
+    num_tasks: int = 29
+    input_dim: int = 1
+
+    @property
+    def lrp_length(self) -> int:
+        return self.sub_len * self.sub_len
+
+
+# ----------------------------------------------------------------- host
+def lrp_permutations(
+    g: Graph, sub_len: int = 4, width: int = 3,
+    max_perms_per_node: int = 1024,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(perm_nodes [P, S], perm_adj [P, S, S], perm_owner [P]).
+
+    Per node v: sequences [v] + ordered <=width-subsets of neighbors
+    (seq_generate_deep with depth=1, LRP_dataset.py:315-348). Pads with
+    -1; ``max_perms_per_node`` truncates pathological hubs (the
+    reference drops whole graphs over a threshold instead)."""
+    indptr, indices = g.csr()
+    pn, pa, po = [], [], []
+    for v in range(g.n_nodes):
+        nbrs = [int(u) for u in indices[indptr[v]:indptr[v + 1]]]
+        k = min(width, len(nbrs))
+        count = 0
+        for p in permutations(nbrs, k):
+            seq = [v] + list(p)
+            seq = seq[:sub_len]
+            row = np.full(sub_len, -1, np.int32)
+            row[:len(seq)] = seq
+            pn.append(row)
+            po.append(v)
+            count += 1
+            if count >= max_perms_per_node:
+                break
+        if count == 0:
+            row = np.full(sub_len, -1, np.int32)
+            row[0] = v
+            pn.append(row)
+            po.append(v)
+    perm_nodes = np.stack(pn)
+    perm_owner = np.array(po, np.int32)
+    # adjacency pattern among perm slots
+    adj = np.zeros((g.n_nodes, g.n_nodes), bool)
+    if g.n_edges:
+        adj[g.edges[:, 0], g.edges[:, 1]] = True
+        adj[g.edges[:, 1], g.edges[:, 0]] = True
+    s = sub_len
+    pi = perm_nodes[:, :, None]
+    pj = perm_nodes[:, None, :]
+    valid = (pi >= 0) & (pj >= 0)
+    perm_adj = np.zeros((len(pn), s, s), bool)
+    np_i = np.clip(pi, 0, None)
+    np_j = np.clip(pj, 0, None)
+    perm_adj = valid & adj[np_i, np_j]
+    return perm_nodes, perm_adj.astype(np.float32), perm_owner
+
+
+def lrp_arrays_for_batch(batch, cfg: LRPConfig,
+                         max_perms_per_node: int = 60,
+                         p_cap: int = 0):
+    """Host: permutation arrays for a PackedGraphs whole-graph batch,
+    indexing batch-local node ids. Returns (perm_nodes [P, S],
+    perm_adj [P, S, S], perm_owner [P] (-1 pad), degs [N]).
+
+    ``max_perms_per_node`` truncates hubs (LRP is O(deg^width); the
+    reference instead DROPS whole graphs above a perm threshold,
+    LRP_dataset.py filter_threshold)."""
+    es = np.asarray(batch.edge_src)
+    ed = np.asarray(batch.edge_dst)
+    nm = np.asarray(batch.node_mask) > 0
+    real = nm[es] & nm[ed] & (es != ed)
+    n = batch.n_cap
+    degs = np.bincount(es[real], minlength=n).astype(np.float32)
+
+    # sorted adjacency via argsort on src
+    order = np.argsort(es[real], kind="stable")
+    s_src, s_dst = es[real][order], ed[real][order]
+    indptr = np.searchsorted(s_src, np.arange(n + 1))
+
+    pn, po = [], []
+    s, w = cfg.sub_len, cfg.width
+    for v in np.nonzero(nm)[0]:
+        nbrs = np.unique(s_dst[indptr[v]:indptr[v + 1]])
+        k = min(w, len(nbrs))
+        cnt = 0
+        for p in permutations(nbrs.tolist(), k):
+            row = np.full(s, -1, np.int32)
+            seq = ([int(v)] + list(p))[:s]
+            row[:len(seq)] = seq
+            pn.append(row)
+            po.append(int(v))
+            cnt += 1
+            if cnt >= max_perms_per_node:
+                break
+        if cnt == 0:
+            row = np.full(s, -1, np.int32)
+            row[0] = int(v)
+            pn.append(row)
+            po.append(int(v))
+    perm_nodes = np.stack(pn) if pn else np.full((1, s), -1, np.int32)
+    perm_owner = np.array(po, np.int32) if po else np.array([-1], np.int32)
+
+    # vectorized adjacency pattern via sorted edge keys
+    edge_keys = np.sort(s_src.astype(np.int64) * n + s_dst)
+    pi = perm_nodes[:, :, None].astype(np.int64)
+    pj = perm_nodes[:, None, :].astype(np.int64)
+    valid = (pi >= 0) & (pj >= 0)
+    keys = np.clip(pi, 0, None) * n + np.clip(pj, 0, None)
+    pos = np.searchsorted(edge_keys, keys.ravel())
+    pos = np.minimum(pos, max(len(edge_keys) - 1, 0))
+    found = (edge_keys[pos] == keys.ravel()) if len(edge_keys) else \
+        np.zeros(keys.size, bool)
+    perm_adj = (found.reshape(keys.shape) & valid).astype(np.float32)
+
+    P = len(perm_nodes)
+    if p_cap and P < p_cap:
+        pad = p_cap - P
+        perm_nodes = np.concatenate(
+            [perm_nodes, np.full((pad, s), -1, np.int32)])
+        perm_adj = np.concatenate(
+            [perm_adj, np.zeros((pad, s, s), np.float32)])
+        perm_owner = np.concatenate(
+            [perm_owner, np.full(pad, -1, np.int32)])
+    return perm_nodes, perm_adj, perm_owner, degs
+
+
+# --------------------------------------------------------------- device
+def init_lrp(key, cfg: LRPConfig):
+    ks = jax.random.split(key, 3 + cfg.num_layers)
+    h, L = cfg.hid_dim, cfg.lrp_length
+    layers = []
+    for i in range(cfg.num_layers):
+        kw, kd0, kd1 = jax.random.split(ks[3 + i], 3)
+        layers.append({
+            # torch randn init (gnn_model.py:470-474)
+            "w": jax.random.normal(kw, (h, h, L)),
+            "b": jnp.zeros((h,)),
+            "deg0": linear_params(kd0, 1, 2 * h),
+            "deg1": linear_params(kd1, 2 * h, h),
+        })
+    return {
+        "atom": linear_params(ks[0], cfg.input_dim, h),
+        "edge": linear_params(ks[1], 1, h),
+        "final": linear_params(ks[2], h, cfg.num_tasks),
+        "layers": layers,
+    }
+
+
+def apply_lrp(params, cfg: LRPConfig, x, perm_nodes, perm_adj, perm_owner,
+              degs, n_nodes: int, node_mask=None):
+    """Per-graph LRP embedding -> [num_tasks] predictions.
+
+    x: [N, F]; perm_nodes: [P, S] (-1 pad); perm_adj: [P, S, S];
+    perm_owner: [P]; degs: [N].
+    """
+    s = cfg.sub_len
+    h = cfg.hid_dim
+    aw, ab = params["atom"]
+    nfeat = x @ aw + ab                                # [N, h]
+    ew, eb = params["edge"]
+    e0 = jnp.ones((1,)) @ ew + eb                      # [h]
+
+    valid = (perm_nodes >= 0).astype(nfeat.dtype)      # [P, S]
+    safe_nodes = jnp.clip(perm_nodes, 0, None)
+    pcount = jax.ops.segment_sum(
+        jnp.ones_like(perm_owner, dtype=nfeat.dtype), perm_owner, n_nodes)
+
+    for layer in params["layers"]:
+        diag = jnp.take(nfeat, safe_nodes, axis=0) * valid[..., None]
+        # [P, S, S, h]: diagonal slots node feats, off-diagonal e0*adj
+        off = perm_adj[..., None] * e0
+        eye = jnp.eye(s, dtype=nfeat.dtype)[None, :, :, None]
+        nf = eye * diag[:, :, None, :] + (1.0 - jnp.eye(s))[None, :, :,
+                                                            None] * off
+        nf = nf.reshape(nf.shape[0], s * s * h)
+        # out[p, c] = sum_{a,b} nf[p, a, b] * W[b, c, a]
+        w2 = jnp.transpose(layer["w"], (2, 0, 1)).reshape(s * s * h, h)
+        out = jax.nn.relu(nf @ w2 + layer["b"])        # [P, h]
+        pooled = jax.ops.segment_sum(out, perm_owner, n_nodes)
+        pooled = pooled / jnp.maximum(pcount[:, None], 1.0)
+        d0w, d0b = layer["deg0"]
+        d1w, d1b = layer["deg1"]
+        f = jax.nn.relu(degs[:, None] @ d0w + d0b) @ d1w + d1b
+        nfeat = pooled * f
+        if node_mask is not None:
+            nfeat = nfeat * node_mask[:, None]
+
+    fw, fb = params["final"]
+    if node_mask is not None:
+        gemb = (nfeat * node_mask[:, None]).sum(0)
+    else:
+        gemb = nfeat.sum(0)
+    return gemb @ fw + fb
+
+
+def apply_lrp_batch(params, cfg: LRPConfig, batch, perm_nodes, perm_adj,
+                    perm_owner, degs):
+    """Batched variant over a PackedGraphs whole-graph batch: perm arrays
+    index batch-local node ids; returns [G, num_tasks] via per-graph
+    pooling."""
+    s, h = cfg.sub_len, cfg.hid_dim
+    n_cap, g_cap = batch.n_cap, batch.g_cap
+    aw, ab = params["atom"]
+    nfeat = (batch.x @ aw + ab) * batch.node_mask[:, None]
+    ew, eb = params["edge"]
+    e0 = jnp.ones((1,)) @ ew + eb
+
+    valid = (perm_nodes >= 0).astype(nfeat.dtype)
+    safe_nodes = jnp.clip(perm_nodes, 0, None)
+    owner = jnp.clip(perm_owner, 0, n_cap - 1)
+    pvalid = (perm_owner >= 0).astype(nfeat.dtype)
+    pcount = jax.ops.segment_sum(pvalid, owner, n_cap)
+
+    eye = jnp.eye(s, dtype=nfeat.dtype)
+    for layer in params["layers"]:
+        diag = jnp.take(nfeat, safe_nodes, axis=0) * valid[..., None]
+        off = perm_adj[..., None] * e0
+        nf = (eye[None, :, :, None] * diag[:, :, None, :]
+              + (1.0 - eye)[None, :, :, None] * off)
+        nf = nf.reshape(nf.shape[0], s * s * h)
+        w2 = jnp.transpose(layer["w"], (2, 0, 1)).reshape(s * s * h, h)
+        out = jax.nn.relu(nf @ w2 + layer["b"]) * pvalid[:, None]
+        pooled = jax.ops.segment_sum(out, owner, n_cap)
+        pooled = pooled / jnp.maximum(pcount[:, None], 1.0)
+        d0w, d0b = layer["deg0"]
+        d1w, d1b = layer["deg1"]
+        f = jax.nn.relu(degs[:, None] @ d0w + d0b) @ d1w + d1b
+        nfeat = pooled * f * batch.node_mask[:, None]
+
+    fw, fb = params["final"]
+    gemb = jax.ops.segment_sum(nfeat, batch.node_graph, g_cap + 1)[:g_cap]
+    return gemb @ fw + fb
