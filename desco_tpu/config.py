@@ -59,6 +59,8 @@ def build_parser() -> argparse.ArgumentParser:
     o.add_argument("--train_gossip", action="store_true")
     o.add_argument("--test_gossip", action="store_true")
     o.add_argument("--seed", type=int, default=0)
+    o.add_argument("--resume", action="store_true",
+                   help="resume training from the .last snapshot")
     o.add_argument("--n_devices", type=int, default=0,
                    help="data-parallel devices (0 = all available)")
     return p

@@ -68,6 +68,28 @@ def load_tu_dataset(root: str, name: str,
     return graphs
 
 
+def load_snap_edgelist(root: str, name: str,
+                       filename: str = "edges.txt") -> List[Graph]:
+    """Single-graph SNAP-style edge-list datasets (P2P = p2p-Gnutella04,
+    Astro = ca-AstroPh; reference data.py:753-886 downloads these — this
+    environment has no egress, so the file must exist locally at
+    ``<root>/<name>/raw/<filename>``). Node ids are compacted to 0..n-1
+    preserving order; the graph is undirected and deduplicated."""
+    path = os.path.join(root, name, "raw", filename)
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"SNAP edge list not found at {path}; download "
+            f"{'p2p-Gnutella04' if name == 'P2P' else 'ca-AstroPh'} "
+            "from snap.stanford.edu and place the edge list there.")
+    edges = np.loadtxt(path, dtype=np.int64, comments="#").reshape(-1, 2)
+    ids = np.unique(edges)
+    remap = {int(v): i for i, v in enumerate(ids)}
+    e = np.array([(remap[int(u)], remap[int(v)]) for u, v in edges
+                  if u != v], np.int64)
+    e = np.unique(np.sort(e, axis=1), axis=0)
+    return [Graph(len(ids), e.astype(np.int32))]
+
+
 def _relabel_all(graphs: List[Graph], mode: str, seed: int = 0) -> List[Graph]:
     rng = np.random.default_rng(seed)
     out = []
@@ -119,6 +141,8 @@ def load_data(
             n, os.path.join(root_folder, name), min_size=10, max_size=500)
     elif name in TU_NAMES:
         graphs = load_tu_dataset(root_folder, TU_NAMES[name], with_labels)
+    elif name in ("P2P", "Astro"):
+        graphs = load_snap_edgelist(root_folder, name)
     else:
         raise NotImplementedError(f"unknown dataset: {name}")
 

@@ -41,18 +41,20 @@ def gen_query_ids(query_sizes: List[int]) -> List[int]:
 
 
 def graph_atlas_plus(query_id: int) -> nx.Graph:
-    """Atlas lookup with room for extended large patterns.
-
-    The reference extends the atlas with hand-coded 8-14-node patterns at
-    ids 8000-14004 (workload.py:1128-1671); those are not shipped yet.
-    """
+    """Atlas lookup extended with the hand-crafted 8-14-node benchmark
+    patterns at ids 8000-14004 (graph_atlas_plus semantics,
+    workload.py:1128-1671; pattern data in atlas_plus_data)."""
     if query_id < 1253:
         g = nx.graph_atlas(query_id)
         return nx.convert_node_labels_to_integers(g)
-    raise NotImplementedError(
-        f"extended atlas id {query_id}: large hand-coded patterns "
-        "(reference workload.py:1128-1671) are not shipped yet"
-    )
+    from .atlas_plus_data import EDGELIST_PLUS
+
+    if query_id in EDGELIST_PLUS:
+        g = nx.Graph()
+        g.add_edges_from(EDGELIST_PLUS[query_id])
+        g.add_nodes_from(range(query_id // 1000))
+        return g
+    raise KeyError(f"unknown extended atlas id {query_id}")
 
 
 def gen_queries(query_ids: List[int]) -> List[Graph]:

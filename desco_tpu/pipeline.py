@@ -126,7 +126,7 @@ def prepare_stage_data(
 def train_neighborhood_stage(
     cfg: PipelineConfig, train: StageData, val: StageData,
     query_batch: PackedGraphs, ckpt_path: Optional[str] = None,
-    log_fn=print,
+    log_fn=print, resume: bool = False,
 ):
     tgt_cfg, qry_cfg = model_configs(cfg)
     params = neigh_mod.init_neighborhood_model(
@@ -137,7 +137,7 @@ def train_neighborhood_stage(
         epochs=cfg.neigh_epochs, lr=cfg.neigh_lr,
         weight_decay=cfg.neigh_weight_decay,
         ckpt_path=ckpt_path, ckpt_config=dataclasses.asdict(cfg),
-        seed=cfg.seed, log_fn=log_fn)
+        seed=cfg.seed, log_fn=log_fn, resume=resume)
     return result, tgt_cfg, qry_cfg
 
 
@@ -162,7 +162,7 @@ def train_gossip_stage(
     cfg: PipelineConfig, params_neigh, tgt_cfg, qry_cfg,
     query_batch: PackedGraphs,
     train_batches, val_batches, ckpt_path: Optional[str] = None,
-    log_fn=print,
+    log_fn=print, resume: bool = False,
 ):
     query_embs = neigh_mod.embed_queries(params_neigh, qry_cfg, query_batch)
     query_embs = jax.lax.stop_gradient(query_embs)
@@ -176,7 +176,7 @@ def train_gossip_stage(
         epochs=cfg.gossip_epochs, lr=cfg.gossip_lr,
         weight_decay=cfg.gossip_weight_decay, dropout=cfg.gossip_dropout,
         ckpt_path=ckpt_path, ckpt_config=dataclasses.asdict(cfg),
-        seed=cfg.seed, log_fn=log_fn)
+        seed=cfg.seed, log_fn=log_fn, resume=resume)
     return result, query_embs
 
 

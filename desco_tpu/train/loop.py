@@ -76,11 +76,21 @@ def run_training(
     seed: int = 0, ckpt_path: Optional[str] = None,
     ckpt_config: Optional[dict] = None,
     log_every: int = 10, log_fn=print, mesh=None,
+    resume: bool = False, snapshot_every: int = 10,
 ) -> TrainResult:
     """Generic loop: step_fn(params, opt, batch, lr, rng) ->
     (params, opt, loss); eval_fn(params, batch) -> (loss_sum, weight).
     With a mesh, step_fn must be a DP step (dp_step_fn) and batches are
-    grouped d-at-a-time along a sharded axis."""
+    grouped d-at-a-time along a sharded axis.
+
+    Full training state (params + optimizer + plateau scheduler + epoch)
+    snapshots to ``<ckpt_path>.last`` every ``snapshot_every`` epochs;
+    ``resume=True`` continues from it — the device tunnel on this host
+    occasionally wedges mid-run, so long trainings must be killable."""
+    import os
+
+    from .checkpoint import load_checkpoint
+
     opt_state = tx.init(params)
     n_dp = mesh.devices.size if mesh is not None else 1
     if mesh is not None:
@@ -109,8 +119,26 @@ def run_training(
     rng = jax.random.PRNGKey(seed)
     best_val, best_params = float("inf"), params
     train_losses, val_losses, times = [], [], []
+    start_epoch = 0
 
-    for epoch in range(epochs):
+    if resume and ckpt_path and os.path.exists(
+            ckpt_path + ".last.params.npz"):
+        params, opt_state, meta = load_checkpoint(
+            ckpt_path + ".last", params, opt_state)
+        ex = meta.get("extra", {})
+        start_epoch = int(ex.get("epoch", -1)) + 1
+        for k in ("lr", "best", "num_bad"):
+            if k in ex:
+                setattr(sched, k, ex[k])
+        best_val = float(ex.get("best_val", best_val))
+        rng = jax.random.fold_in(rng, start_epoch)
+        if os.path.exists(ckpt_path + ".best.params.npz"):
+            best_params, _, _ = load_checkpoint(ckpt_path + ".best",
+                                                best_params)
+        log_fn(f"resumed from epoch {start_epoch} (lr {sched.lr:.2e}, "
+               f"best_val {best_val:.5f})")
+
+    for epoch in range(start_epoch, epochs):
         t0 = time.time()
         rng, shuffle_key, epoch_key = jax.random.split(rng, 3)
         perm = jax.random.permutation(shuffle_key, n_train)
@@ -136,9 +164,14 @@ def run_training(
         if log_every and (epoch % log_every == 0 or epoch == epochs - 1):
             log_fn(f"epoch {epoch:4d} train {tl:.5f} val {vl:.5f} "
                    f"lr {sched.lr:.2e} {times[-1]:.2f}s")
-    if ckpt_path:
-        save_checkpoint(ckpt_path + ".last", params, config=ckpt_config,
-                        extra={"epoch": epochs - 1})
+        if ckpt_path and snapshot_every and (
+                epoch % snapshot_every == 0 or epoch == epochs - 1):
+            save_checkpoint(
+                ckpt_path + ".last", params, config=ckpt_config,
+                opt_state=opt_state,
+                extra={"epoch": epoch, "lr": sched.lr,
+                       "best": sched.best, "num_bad": sched.num_bad,
+                       "best_val": best_val})
     return TrainResult(params, best_params, train_losses, val_losses,
                        best_val, times)
 

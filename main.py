@@ -78,7 +78,7 @@ def main(argv=None) -> int:
         print("training neighborhood model...")
         res, tgt_cfg, qry_cfg = train_neighborhood_stage(
             cfg, train_stage, val_stage, qb,
-            ckpt_path=args.neigh_model_path)
+            ckpt_path=args.neigh_model_path, resume=args.resume)
         neigh_params = res.best_params
         print(f"best neighborhood val loss: {res.best_val:.5f}")
     else:
@@ -112,7 +112,7 @@ def main(argv=None) -> int:
             val_gb = prepare_gossip_batches(cfg, val_stage, counts["val"])
             gres, query_embs = train_gossip_stage(
                 cfg, neigh_params, tgt_cfg, qry_cfg, qb, train_gb, val_gb,
-                ckpt_path=args.gossip_model_path)
+                ckpt_path=args.gossip_model_path, resume=args.resume)
             gossip_params = gres.best_params
             print(f"best gossip val loss: {gres.best_val:.5f}")
         else:

@@ -1,0 +1,87 @@
+"""Dataset registry: TU reader, SNAP reader, suffix conventions."""
+
+import os
+
+import numpy as np
+import pytest
+
+from desco_tpu.data.datasets import load_data, load_snap_edgelist, load_tu_dataset
+from desco_tpu.graph.atlas import gen_queries, gen_query_ids, graph_atlas_plus
+
+
+def write_tu(root, name, graphs, labels=None):
+    raw = os.path.join(root, name, "raw")
+    os.makedirs(raw, exist_ok=True)
+    off = 1
+    with open(os.path.join(raw, f"{name}_A.txt"), "w") as fa, \
+            open(os.path.join(raw, f"{name}_graph_indicator.txt"),
+                 "w") as fi:
+        for gid, (n, edges) in enumerate(graphs):
+            for _ in range(n):
+                fi.write(f"{gid + 1}\n")
+            for u, v in edges:
+                fa.write(f"{u + off}, {v + off}\n")
+                fa.write(f"{v + off}, {u + off}\n")
+            off += n
+    if labels is not None:
+        with open(os.path.join(raw, f"{name}_node_labels.txt"), "w") as f:
+            for l in labels:
+                f.write(f"{l}\n")
+
+
+def test_tu_reader(tmp_path):
+    write_tu(str(tmp_path), "TOY",
+             [(3, [(0, 1), (1, 2)]), (4, [(0, 1), (2, 3), (1, 2)])],
+             labels=[0, 1, 0, 1, 1, 0, 0])
+    gs = load_tu_dataset(str(tmp_path), "TOY", with_labels=True)
+    assert len(gs) == 2
+    assert gs[0].n_nodes == 3 and gs[0].n_edges == 2
+    assert gs[1].n_nodes == 4 and gs[1].n_edges == 3
+    assert gs[0].node_feat.shape == (3, 2)  # one-hot of 2 labels
+    np.testing.assert_allclose(gs[0].node_feat.sum(-1), 1.0)
+
+
+def test_tu_reader_missing(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        load_tu_dataset(str(tmp_path), "NOPE")
+
+
+def test_snap_reader(tmp_path):
+    raw = tmp_path / "P2P" / "raw"
+    raw.mkdir(parents=True)
+    (raw / "edges.txt").write_text(
+        "# comment\n10 20\n20 30\n30 10\n10 20\n")
+    [g] = load_snap_edgelist(str(tmp_path), "P2P")
+    assert g.n_nodes == 3 and g.n_edges == 3  # deduped triangle
+
+
+def test_split_suffixes(tmp_path):
+    graphs = [(5, [(0, 1), (1, 2), (3, 4)])] * 8
+    write_tu(str(tmp_path), "TOY2", graphs)
+    # registry name must exist: use Syn instead for splits (TOY2 not in
+    # registry) — exercise split logic through Syn_8
+    full = load_data("Syn_8", str(tmp_path))
+    tr = load_data("Syn_8_train", str(tmp_path))
+    va = load_data("Syn_8_val", str(tmp_path))
+    te = load_data("Syn_8_test", str(tmp_path))
+    assert len(tr) == 2 and len(va) == 2 and len(te) == 4
+    assert len(full) == 8
+    # deterministic
+    tr2 = load_data("Syn_8_train", str(tmp_path))
+    assert [g.n_nodes for g in tr] == [g.n_nodes for g in tr2]
+
+
+def test_relabel_suffix(tmp_path):
+    gs = load_data("Syn_8_decreaseByDegree", str(tmp_path))
+    for g in gs:
+        deg = g.degrees()
+        assert np.all(np.diff(deg) <= 0)  # nonincreasing by node id
+
+
+def test_extended_atlas_patterns():
+    import networkx as nx
+
+    for qid in (8000, 9000, 10001, 14004):
+        g = graph_atlas_plus(qid)
+        assert g.number_of_nodes() == qid // 1000
+        assert nx.is_connected(g)
