@@ -249,3 +249,53 @@ def halo_graph_pool(emb_local, node_graph_local, n_graphs: int,
     """Cross-device global-add pool: local segment-sum then psum."""
     pooled = segment_sum(emb_local, node_graph_local, n_graphs + 1)
     return jax.lax.psum(pooled[:n_graphs], axis)
+
+
+def halo_gossip_single(params, part_shard, x_col_local, query_emb,
+                       axis: str = "graph"):
+    """Gossip forward for ONE query over ONE sharded large graph — runs
+    inside shard_map on a HaloPartition shard whose edge types are the
+    direction bits (0 fwd / 1 bwd). Mirrors
+    models/gossip.apply_gossip_single with halo exchange feeding the
+    per-direction aggregations; enables single-graph gossip inference at
+    at P2P/Astro scale across chips (the reference runs such graphs whole
+    on one device, data.py:753-886)."""
+    from ..models.gossip import _gate
+    from ..models.shmp_gnn import _dropout  # noqa: F401 (parity)
+
+    nmask = part_shard.node_mask[:, None]
+    w_pre, b_pre = params["pre"]
+    x = x_col_local[:, None] @ w_pre + b_pre
+    qe = jnp.broadcast_to(query_emb[None, :],
+                          (x.shape[0], query_emb.shape[0]))
+    x = jax.lax.stop_gradient(jnp.concatenate([qe, x], axis=-1)) * nmask
+    emb = x
+
+    halo_m = halo_exchange(part_shard.node_mask[:, None],
+                           part_shard.send_idx, part_shard.send_mask, axis)
+    deg = halo_typed_aggregate(
+        part_shard.node_mask[:, None], halo_m, part_shard.edge_src_ext,
+        part_shard.edge_dst, part_shard.edge_type, 2)[..., 0]
+
+    for conv in params["convs"]:
+        g = _gate(conv, query_emb)
+        halo = halo_exchange(x, part_shard.send_idx, part_shard.send_mask,
+                             axis)
+        agg = halo_typed_aggregate(
+            x, halo, part_shard.edge_src_ext, part_shard.edge_dst,
+            part_shard.edge_type, 2)
+        mixed = g * agg[0] + (1.0 - g) * agg[1]
+        wc, bc = conv["com"]
+        wdeg = (g * deg[0] + (1.0 - g) * deg[1])[:, None]
+        aggr = mixed @ wc + bc * wdeg
+        wu, bu = conv["upd"]
+        x = jax.nn.relu(
+            jnp.concatenate([aggr, x], axis=-1) @ wu + bu) * nmask
+        emb = jnp.concatenate([emb, x], axis=-1)
+
+    (w1, b1), (w2, b2), (w3, b3), (w4, b4) = params["post"]
+    h = jax.nn.leaky_relu(emb @ w1 + b1, negative_slope=0.1)
+    h = jax.nn.relu(h @ w2 + b2)
+    h = jax.nn.relu(h @ w3 + b3)
+    out = (h @ w4 + b4)[:, 0]
+    return out * part_shard.node_mask

@@ -98,3 +98,45 @@ def test_halo_shmp_core_matches_single_device(rng):
     n_loc = part.n_loc
     got = out.reshape(N_DEV * n_loc, -1)[:n]
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_halo_gossip_matches_single_device(rng):
+    """Sharded single-graph gossip forward == packed single-device path."""
+    from desco_tpu.batch.build import gossip_sample
+    from desco_tpu.models.gossip import apply_gossip_single, init_gossip_model
+    from desco_tpu.parallel.halo import halo_gossip_single
+
+    g = random_graph(rng, 36, 0.15)
+    n = g.n_nodes
+    x_counts = rng.random((n, 1)).astype(np.float32)
+    s = gossip_sample(g, x_counts, x_counts)
+    [b] = pack_samples([s], *auto_capacities([s], g_cap=1), n_queries=1)
+
+    params = init_gossip_model(jax.random.PRNGKey(5), hidden_dim=8,
+                               emb_channels=8)
+    q_emb = jnp.asarray(rng.standard_normal(8), jnp.float32)
+    ref = np.asarray(apply_gossip_single(
+        params, b, jnp.asarray(b.x[:, 0]), q_emb))[:n]
+
+    part = partition_typed_graph(
+        n, s.node_type, s.x, s.edge_src, s.edge_dst, s.edge_type, N_DEV)
+    n_loc = part.n_loc
+    # shard the count column like the nodes
+    xcol = np.zeros((N_DEV, n_loc), np.float32)
+    for d in range(N_DEV):
+        lo, hi = d * n_loc, min((d + 1) * n_loc, n)
+        xcol[d, :hi - lo] = x_counts[lo:hi, 0]
+
+    mesh = jax.sharding.Mesh(make_mesh(N_DEV).devices, ("graph",))
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(), P("graph"), P("graph"), P()),
+             out_specs=P("graph"))
+    def run(params, shard, xc, q):
+        shard = jax.tree_util.tree_map(lambda a: a[0], shard)
+        return halo_gossip_single(params, shard, xc[0], q)[None]
+
+    with mesh:
+        out = np.asarray(jax.jit(run)(params, part, xcol, q_emb))
+    got = out.reshape(N_DEV * n_loc)[:n]
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
