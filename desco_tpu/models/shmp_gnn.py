@@ -29,7 +29,11 @@ import jax
 import jax.numpy as jnp
 
 from ..batch.packed import PackedGraphs
-from ..ops.segment import graph_pool_sum, typed_edge_aggregate
+from ..ops.segment import (
+    graph_pool_sum,
+    typed_edge_aggregate,
+    typed_transform_aggregate,
+)
 from .init import linear_params, mlp_params
 
 
@@ -50,6 +54,10 @@ class SHMPConfig:
     canonical_type: int = 1
     per_node_output: bool = False  # gossip: post_mp per node, no pooling
     dtype: jnp.dtype = jnp.float32
+    # 'aggregate_first' scatters into [T*N,H] then einsums with W[t];
+    # 'transform_first' applies W[t] to all nodes then scatters into
+    # [N,K] (1/T the scatter bytes; mathematically identical)
+    agg_mode: str = "aggregate_first"
 
     @property
     def post_input_dim(self) -> int:
@@ -125,11 +133,16 @@ def apply_shmp_core(
             rng, sub = jax.random.split(rng)
         else:
             sub = None
-        agg = typed_edge_aggregate(
-            x, batch.edge_src, batch.edge_dst, batch.edge_type,
-            cfg.n_edge_types)  # [T_e, N, H]
         conv_w, conv_b = params["conv"][0][l], params["conv"][1][l]
-        x_neigh = jnp.einsum("tnh,thk->nk", agg, conv_w)
+        if cfg.agg_mode == "transform_first":
+            x_neigh = typed_transform_aggregate(
+                x, conv_w, batch.edge_src, batch.edge_dst,
+                batch.edge_type, cfg.n_edge_types)
+        else:
+            agg = typed_edge_aggregate(
+                x, batch.edge_src, batch.edge_dst, batch.edge_type,
+                cfg.n_edge_types)  # [T_e, N, H]
+            x_neigh = jnp.einsum("tnh,thk->nk", agg, conv_w)
         bias_by_ntype = jax.ops.segment_sum(
             conv_b, dst_t, num_segments=cfg.n_node_types)  # [T_n, H]
         x_neigh = x_neigh + bias_by_ntype[ntype]

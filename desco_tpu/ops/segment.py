@@ -47,6 +47,28 @@ def typed_edge_aggregate(
     return agg.reshape(n_types, n, x.shape[1])
 
 
+def typed_transform_aggregate(
+    x: jnp.ndarray,          # [N, H]
+    conv_w: jnp.ndarray,     # [T, H, K] per-type weights
+    edge_src: jnp.ndarray,   # [E]
+    edge_dst: jnp.ndarray,   # [E]
+    edge_type: jnp.ndarray,  # [E]
+    n_types: int,
+) -> jnp.ndarray:
+    """Transform-first SHMP aggregation: out[i] = sum over edges into i of
+    (x[src] @ W[type]). Mathematically identical to aggregate-then-
+    transform (sum_t W_t · agg_t) but the scatter target is [N, K]
+    instead of [T*N, H] — 1/T the scatter bytes at the cost of T cheap
+    MXU matmuls over all nodes. Returns [N, K] (no bias).
+    """
+    n = x.shape[0]
+    y = jnp.einsum("nh,thk->tnk", x, conv_w)        # [T, N, K]
+    flat = y.reshape(n_types * n, conv_w.shape[2])
+    idx = edge_type.astype(jnp.int32) * n + edge_src.astype(jnp.int32)
+    msgs = jnp.take(flat, idx, axis=0, fill_value=0.0)
+    return segment_sum(msgs, edge_dst.astype(jnp.int32), n)
+
+
 def graph_pool_sum(
     node_emb: jnp.ndarray,   # [N, H]
     node_graph: jnp.ndarray,  # [N] i32, pad nodes -> n_graphs

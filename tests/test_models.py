@@ -297,3 +297,24 @@ def test_gossip_loss_and_predict(rng):
     assert float(jnp.abs(grads["convs"][0]["com"][0]).sum()) > 0.0
     # gate gets gradient through the message scaling
     assert float(jnp.abs(grads["convs"][0]["gate"][0][0]).sum()) > 0.0
+
+
+def test_typed_transform_aggregate_equivalence(rng):
+    """Transform-first aggregation == aggregate-then-transform."""
+    from desco_tpu.ops.segment import (
+        typed_edge_aggregate,
+        typed_transform_aggregate,
+    )
+
+    samples = make_neigh_samples(rng, n_graphs=3)
+    n_cap, e_cap, g_cap = auto_capacities(samples, g_cap=len(samples))
+    [b] = pack_samples(samples, n_cap, e_cap, g_cap, n_queries=3)
+    x = jnp.asarray(rng.standard_normal((n_cap, 8)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((6, 8, 8)), jnp.float32)
+
+    agg = typed_edge_aggregate(x, b.edge_src, b.edge_dst, b.edge_type, 6)
+    ref = jnp.einsum("tnh,thk->nk", agg, w)
+    got = typed_transform_aggregate(x, w, b.edge_src, b.edge_dst,
+                                    b.edge_type, 6)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
