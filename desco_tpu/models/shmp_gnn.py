@@ -48,7 +48,7 @@ class SHMPConfig:
     hidden_dim: int = 64
     output_dim: int = 64
     layer_num: int = 8
-    conv_type: str = "SAGE"  # SAGE | GIN
+    conv_type: str = "SAGE"  # SAGE | GIN | GCN
     dropout: float = 0.0
     use_anchor: bool = True        # anchor MLP on canonical nodes
     canonical_type: int = 1
@@ -78,6 +78,9 @@ def init_shmp(key, cfg: SHMPConfig):
     if cfg.conv_type == "SAGE":
         params["upd"] = linear_params(
             ks[2], 2 * h, h, cfg.layer_num, cfg.n_node_types)
+    elif cfg.conv_type == "GCN":
+        pass  # x = x_neigh directly (GCNConv normalize=False semantics,
+        #       gnn_model.py:215-216, 268-270)
     elif cfg.conv_type == "GIN":
         # 2-layer update MLP per (layer, node type); eps fixed at 0
         params["upd1"] = linear_params(
@@ -152,6 +155,8 @@ def apply_shmp_core(
             x = _per_type_linear(
                 upd_in, params["upd"][0][l], params["upd"][1][l],
                 ntype, cfg.n_node_types)
+        elif cfg.conv_type == "GCN":
+            x = x_neigh
         else:  # GIN: update MLP on (x_neigh + (1 + eps) * x), eps = 0
             upd_in = x_neigh + x
             hmid = jax.nn.relu(_per_type_linear(
