@@ -71,14 +71,16 @@ def main() -> int:
     qb = jax.device_put(qb)
 
     out = fwd(params, batch, qb)
-    out.block_until_ready()  # compile
+    _ = np.asarray(out)  # compile + real completion
 
-    # warmup + calibrate the iteration count to a >=1s window (the axon
-    # tunnel adds dispatch jitter; short windows are hopelessly noisy)
+    # warmup + calibrate to a >=1s window. CRITICAL: block_until_ready
+    # returns at ENQUEUE on the axon platform — only a host read-back
+    # (np.asarray) observes real completion, so every timing window ends
+    # with one.
     t0 = time.perf_counter()
     for _ in range(10):
         out = fwd(params, batch, qb)
-    out.block_until_ready()
+    _ = np.asarray(out)
     per_iter = (time.perf_counter() - t0) / 10
     n_iters = max(30, int(1.0 / max(per_iter, 1e-6)))
 
@@ -87,7 +89,7 @@ def main() -> int:
         t0 = time.perf_counter()
         for _ in range(n_iters):
             out = fwd(params, batch, qb)
-        out.block_until_ready()
+        _ = np.asarray(out)
         reps.append(time.perf_counter() - t0)
     dt = sorted(reps)[1]  # median of 3
 

@@ -3,10 +3,16 @@ val-monitored best-checkpoint selection.
 
 Replaces PyTorch-Lightning's Trainer (reference main.py:205-273, 338-379):
 all batches share one compiled shape, live on device, and the epoch is a
-tight python loop over a donated-carry jitted step. (A `lax.scan` epoch
-was tried first and runs ~45x SLOWER on this TPU stack — per-iteration
-overhead of the compiled while-loop dwarfs the 1ms step; the python loop
-amortizes dispatch perfectly well.)
+tight python loop over a donated-carry jitted step whose carry includes
+the PRNG key and a device-side loss accumulator. Hard-won rules for this
+TPU stack (each cost a silent 20-100x slowdown):
+  * lax.scan epochs run ~45x slower than the python loop (per-iteration
+    overhead of the compiled while-loop dwarfs the ~1ms step);
+  * NO eager tiny ops in the loop (an eager fold_in per step costs
+    ~12ms dispatch) — the rng must be split inside the jitted step;
+  * NO host syncs of many tiny buffers (jnp.stack of 110 loss scalars
+    took minutes) — losses accumulate in the carry, one float() per
+    epoch; val sums likewise accumulate on device.
 
 Optimizer semantics mirror the reference exactly: torch.optim.Adam
 (lr applied after the adam direction, optional L2-style weight decay
@@ -118,19 +124,30 @@ def run_training(
     val_dev = to_device_list(val_batches) if val_batches else None
     n_train = len(train_dev)
 
-    # donated carry: params/opt buffers are reused in place
-    step_jit = jax.jit(step_fn, donate_argnums=(0, 1))
-    eval_jit = jax.jit(eval_fn)
+    # donated carry (params, opt, rng, loss_sum): buffers reused in
+    # place, rng split inside the jit, loss accumulated on device
+    def carried_step(carry, batch, lr):
+        params, opt_state, rng, loss_sum = carry
+        rng, sub = jax.random.split(rng)
+        params, opt_state, loss = step_fn(params, opt_state, batch, lr,
+                                          sub)
+        return (params, opt_state, rng, loss_sum + loss)
+
+    step_jit = jax.jit(carried_step, donate_argnums=0)
+
+    def eval_step(acc, params, batch):
+        s_, w_ = eval_fn(params, batch)
+        return (acc[0] + s_, acc[1] + w_)
+
+    eval_jit = jax.jit(eval_step, donate_argnums=0)
 
     def val_loss(params):
         if val_dev is None:
             return float("nan")
-        sums, weights = 0.0, 0.0
-        outs = [eval_jit(params, b) for b in val_dev]
-        for s_, w_ in outs:
-            sums += float(s_)
-            weights += float(w_)
-        return sums / max(weights, 1.0)
+        acc = (jnp.float32(0.0), jnp.float32(0.0))
+        for b in val_dev:
+            acc = eval_jit(acc, params, b)
+        return float(acc[0]) / max(float(acc[1]), 1.0)
 
     sched = ReduceLROnPlateau(lr=lr, factor=factor, patience=patience,
                               min_lr=min_lr)
@@ -159,19 +176,17 @@ def run_training(
         log_fn(f"resumed from epoch {start_epoch} (lr {sched.lr:.2e}, "
                f"best_val {best_val:.5f})")
 
+    rng_np = np.random.default_rng(seed + 1)
     for epoch in range(start_epoch, epochs):
         t0 = time.time()
-        rng, shuffle_key, epoch_key = jax.random.split(rng, 3)
-        order = np.asarray(
-            jax.random.permutation(shuffle_key, n_train))
+        rng, epoch_key = jax.random.split(rng)
+        order = rng_np.permutation(n_train)
         lr_dev = jnp.float32(sched.lr)
-        losses = []
-        for si, bi in enumerate(order):
-            params, opt_state, loss = step_jit(
-                params, opt_state, train_dev[int(bi)], lr_dev,
-                jax.random.fold_in(epoch_key, si))
-            losses.append(loss)
-        tl = float(jnp.mean(jnp.stack(losses)))
+        carry = (params, opt_state, epoch_key, jnp.float32(0.0))
+        for bi in order:
+            carry = step_jit(carry, train_dev[int(bi)], lr_dev)
+        params, opt_state, _, loss_sum = carry
+        tl = float(loss_sum) / n_train
         vl = val_loss(params)
         times.append(time.time() - t0)
         train_losses.append(tl)
