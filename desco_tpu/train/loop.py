@@ -4,15 +4,18 @@ val-monitored best-checkpoint selection.
 Replaces PyTorch-Lightning's Trainer (reference main.py:205-273, 338-379):
 all batches share one compiled shape, live on device, and the epoch is a
 tight python loop over a donated-carry jitted step whose carry includes
-the PRNG key and a device-side loss accumulator. Hard-won rules for this
-TPU stack (each cost a silent 20-100x slowdown):
-  * lax.scan epochs run ~45x slower than the python loop (per-iteration
-    overhead of the compiled while-loop dwarfs the ~1ms step);
+the PRNG key and a device-side loss accumulator. Dispatch-hygiene rules
+for this TPU stack:
   * NO eager tiny ops in the loop (an eager fold_in per step costs
-    ~12ms dispatch) — the rng must be split inside the jitted step;
+    ~12ms dispatch) — the rng is split inside the jitted step;
   * NO host syncs of many tiny buffers (jnp.stack of 110 loss scalars
-    took minutes) — losses accumulate in the carry, one float() per
-    epoch; val sums likewise accumulate on device.
+    took minutes over the tunnel) — losses accumulate in the carry, one
+    float() per epoch; val sums likewise accumulate on device.
+At the paper-config model size the epoch is DEVICE-bound (~78ms/step,
+scatter-limited — see ops/pallas_segment.py for the round-2 kernel), so
+loop structure doesn't move the wall time; at smaller step costs these
+rules are worth 20-100x. (Careful: block_until_ready returns at enqueue
+on this platform — only host read-backs time real completion.)
 
 Optimizer semantics mirror the reference exactly: torch.optim.Adam
 (lr applied after the adam direction, optional L2-style weight decay
