@@ -77,10 +77,12 @@ def load_snap_edgelist(root: str, name: str,
     preserving order; the graph is undirected and deduplicated."""
     path = os.path.join(root, name, "raw", filename)
     if not os.path.exists(path):
+        sources = {"P2P": "p2p-Gnutella04 (snap.stanford.edu)",
+                   "Astro": "ca-AstroPh (snap.stanford.edu)"}
         raise FileNotFoundError(
-            f"SNAP edge list not found at {path}; download "
-            f"{'p2p-Gnutella04' if name == 'P2P' else 'ca-AstroPh'} "
-            "from snap.stanford.edu and place the edge list there.")
+            f"edge list not found at {path}; this environment has no "
+            f"network access — export/download "
+            f"{sources.get(name, name)} and place the edge list there.")
     edges = np.loadtxt(path, dtype=np.int64, comments="#").reshape(-1, 2)
     ids = np.unique(edges)
     remap = {int(v): i for i, v in enumerate(ids)}
@@ -139,9 +141,21 @@ def load_data(
         n = int(name.split("_")[1])
         graphs = load_or_generate_synthetic(
             n, os.path.join(root_folder, name), min_size=10, max_size=500)
+    elif name.startswith("syn_"):
+        # legacy lowercase synthetic names: on-the-fly mixed-generator
+        # sampling with sizes 5-41 (reference data.py:175-187 +
+        # combined_syn.py; deprecated there, kept for parity)
+        n = int(name.split("_")[1])
+        graphs = load_or_generate_synthetic(
+            n, os.path.join(root_folder, name), min_size=5, max_size=41)
     elif name in TU_NAMES:
         graphs = load_tu_dataset(root_folder, TU_NAMES[name], with_labels)
     elif name in ("P2P", "Astro"):
+        graphs = load_snap_edgelist(root_folder, name)
+    elif name in ("Cora", "CiteSeer", "ZINC", "arXiv"):
+        # single-graph citation / molecule sets: accept a pre-exported
+        # local edge list (no egress; the reference downloads via PyG —
+        # export edges to <root>/<name>/raw/edges.txt to use here)
         graphs = load_snap_edgelist(root_folder, name)
     else:
         raise NotImplementedError(f"unknown dataset: {name}")
