@@ -284,19 +284,17 @@ def train_neighborhood(
 
 def predict_neighborhood_counts(params, tgt_cfg, qry_cfg, query_batch,
                                 batches: List[PackedGraphs]) -> np.ndarray:
+    # python loop over device batches (lax.map is a scan: pathologically
+    # slow on this stack)
     stacked = jax.device_put(stack_batches(batches))
-
-    @jax.jit
-    def run(stacked):
-        return jax.lax.map(
-            lambda b: neigh_mod.predict_counts(
-                params, tgt_cfg, qry_cfg, b, query_batch), stacked)
-
-    preds = np.asarray(run(stacked))  # [B, G, Q]
+    fn = jax.jit(lambda p, b: neigh_mod.predict_counts(
+        p, tgt_cfg, qry_cfg, b, query_batch))
     out = []
     for bi, b in enumerate(batches):
+        dev_b = jax.tree_util.tree_map(lambda x, i=bi: x[i], stacked)
+        preds = np.asarray(fn(params, dev_b))
         valid = np.asarray(b.graph_mask) > 0
-        out.append(preds[bi][valid])
+        out.append(preds[valid])
     return np.concatenate(out, axis=0)
 
 
@@ -363,16 +361,11 @@ def predict_gossip_counts(params, query_embs,
                           batches: List[PackedGraphs]) -> np.ndarray:
     """(#total_nodes, Q) refined per-node counts in node order."""
     stacked = jax.device_put(stack_batches(batches))
-
-    @jax.jit
-    def run(stacked):
-        return jax.lax.map(
-            lambda b: gossip_mod.gossip_predict(params, b, query_embs),
-            stacked)
-
-    preds = np.asarray(run(stacked))  # [B, N, Q]
+    fn = jax.jit(lambda p, b: gossip_mod.gossip_predict(p, b, query_embs))
     out = []
     for bi, b in enumerate(batches):
+        dev_b = jax.tree_util.tree_map(lambda x, i=bi: x[i], stacked)
+        preds = np.asarray(fn(params, dev_b))
         valid = np.asarray(b.node_mask) > 0
-        out.append(preds[bi][valid])
+        out.append(preds[valid])
     return np.concatenate(out, axis=0)
