@@ -55,9 +55,15 @@ def main() -> int:
         neighborhood_target_config, query_config,
     )
 
+    from desco_tpu.ops.pallas_segment import default_agg_mode
+
+    agg_mode = os.environ.get("DESCO_AGG_MODE", "auto")
+    if agg_mode == "auto":
+        agg_mode = default_agg_mode()
+
     batch, qb = build_workload()
     tgt_cfg = neighborhood_target_config(layer_num=8, hidden_dim=64,
-                                         output_dim=64)
+                                         output_dim=64, agg_mode=agg_mode)
     qry_cfg = query_config(layer_num=8, hidden_dim=64, output_dim=64)
     params = neigh_mod.init_neighborhood_model(jax.random.PRNGKey(0),
                                                tgt_cfg, qry_cfg)

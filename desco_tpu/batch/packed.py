@@ -10,8 +10,9 @@ Layout invariants (load-bearing):
     contribute nothing to any aggregation.
   * ``node_graph`` of padding nodes is ``g_cap`` (an extra segment that is
     sliced away after pooling).
-  * edges are pre-sorted by ``(edge_type, dst)`` on the host so device
-    segment-sums can assume sorted segment ids.
+  * edges are pre-sorted by ``(dst, edge_type)`` on the host so device
+    segment-sums over ``dst*T + type`` keys can assume sorted segment
+    ids and the Pallas fused kernel can tile the stream by dst.
   * within a sample, node order preserves the original (ascending) node
     ids — canonical attribution and the gossip direction bit
     (``src < dst``, gnn_model.py:245-248) depend on it.
@@ -29,10 +30,11 @@ try:
 except ImportError:  # pragma: no cover
     struct = None
 
-# Padded edges carry this sentinel type: their combined segment id
-# ``type * N + dst`` then sorts after every real edge AND falls outside
-# ``n_types * N``, so sorted segment-sums drop them natively. Small enough
-# that ``PAD_EDGE_TYPE * n_cap`` stays well inside int32.
+# Padded edges carry this sentinel type (and dst = the pad node, the
+# largest slot): their combined segment id ``dst * T + type`` then sorts
+# after every real edge AND falls outside ``n_types * N`` (requires
+# n_types <= PAD_EDGE_TYPE), so sorted segment-sums and the Pallas tiling
+# drop them natively. Small enough that keys stay well inside int32.
 PAD_EDGE_TYPE = 63
 
 
@@ -176,8 +178,10 @@ def pack_samples(
             es = np.concatenate(srcs).astype(np.int32)
             ed = np.concatenate(dsts).astype(np.int32)
             et = np.concatenate(types).astype(np.int32)
-            # sort by (type, dst) so device segment ids are sorted
-            order = np.lexsort((ed, et))
+            # sort by (dst, type): device segment ids dst*T+type are
+            # sorted (monotone scatter) AND the stream is directly the
+            # key layout the fused Pallas kernel tiles over
+            order = np.lexsort((et, ed))
             m = len(es)
             ES[bi, :m] = es[order]
             ED[bi, :m] = ed[order]
@@ -209,7 +213,10 @@ def auto_capacities(
     n_cap = int(max(nodes.max() + 1, slack * g_cap * mean_n + 1))
     e_cap = int(max(edges.max(), slack * g_cap * mean_e))
     r128 = lambda v: ((v + 127) // 128) * 128
-    return r128(n_cap + 1), r128(max(e_cap, 1)), g_cap
+    # edge capacity rounds to the Pallas chunk size (CE=512) so the
+    # fused kernel's edge stream needs no re-padding copy
+    r512 = lambda v: ((v + 511) // 512) * 512
+    return r128(n_cap + 1), r512(max(e_cap, 1)), g_cap
 
 
 def stack_batches(batches: List[PackedGraphs]) -> PackedGraphs:

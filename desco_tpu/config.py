@@ -32,6 +32,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="triangle convolution (a case of SHMP)")
     n.add_argument("--neigh_weight_decay", type=float, default=0.0)
     n.add_argument("--neigh_lr", type=float, default=1e-4)
+    n.add_argument("--agg_mode", type=str, default="auto",
+                   choices=["auto", "pallas", "aggregate_first",
+                            "transform_first"],
+                   help="typed-aggregation kernel (auto: Pallas on TPU)")
 
     g = p.add_argument_group("gossip counting model arguments")
     g.add_argument("--gossip_conv_type", type=str, default="GOSSIP")
@@ -81,6 +85,7 @@ def to_pipeline_config(args: argparse.Namespace) -> PipelineConfig:
         neigh_batch_size=args.neigh_batch_size,
         neigh_lr=args.neigh_lr,
         neigh_weight_decay=args.neigh_weight_decay,
+        agg_mode=args.agg_mode,
         gossip_layer_num=args.gossip_layer_num,
         gossip_hidden_dim=args.gossip_hidden_dim,
         gossip_dropout=args.gossip_dropout,

@@ -98,7 +98,7 @@ def apply_gossip_single(
     # linear-before-aggregate); pad edges contribute 0 via the mask column
     deg = typed_edge_aggregate(
         batch.node_mask[:, None], batch.edge_src, batch.edge_dst,
-        batch.edge_type, 2)[..., 0]  # [2, N]
+        batch.edge_type, 2)[..., 0]  # [N, 2]
 
     for conv in params["convs"]:
         if rng is not None:
@@ -108,9 +108,9 @@ def apply_gossip_single(
         g = _gate(conv, query_emb)
         wc, bc = conv["com"]
         agg = typed_edge_aggregate(
-            x, batch.edge_src, batch.edge_dst, batch.edge_type, 2)  # [2,N,D]
-        mixed = g * agg[0] + (1.0 - g) * agg[1]
-        wdeg = (g * deg[0] + (1.0 - g) * deg[1])[:, None]
+            x, batch.edge_src, batch.edge_dst, batch.edge_type, 2)  # [N,2,D]
+        mixed = g * agg[:, 0] + (1.0 - g) * agg[:, 1]
+        wdeg = (g * deg[:, 0] + (1.0 - g) * deg[:, 1])[:, None]
         aggr = mixed @ wc + bc * wdeg
         wu, bu = conv["upd"]
         x = jnp.concatenate([aggr, x], axis=-1) @ wu + bu

@@ -54,9 +54,13 @@ class SHMPConfig:
     canonical_type: int = 1
     per_node_output: bool = False  # gossip: post_mp per node, no pooling
     dtype: jnp.dtype = jnp.float32
-    # 'aggregate_first' scatters into [T*N,H] then einsums with W[t];
-    # 'transform_first' applies W[t] to all nodes then scatters into
-    # [N,K] (1/T the scatter bytes; mathematically identical)
+    # 'aggregate_first' scatters into [N*T,H] then one [N,T*H]@[T*H,K]
+    # matmul; 'transform_first' applies W[t] to all nodes then scatters
+    # into [N,K] (1/T the scatter bytes; mathematically identical);
+    # 'pallas' runs the fused TPU kernel (ops/pallas_segment.py): MXU
+    # one-hot matmuls over (dst,type)-sorted edge tiles, no [N*T,H]
+    # scatter buffer. Requires n_cap % 128 == 0 (auto_capacities
+    # guarantees it) and square conv weights.
     agg_mode: str = "aggregate_first"
 
     @property
@@ -112,40 +116,53 @@ def _dropout(x, rate, rng, train):
     return jnp.where(keep, x / (1.0 - rate), 0.0)
 
 
-def apply_shmp_core(
-    params, cfg: SHMPConfig, batch: PackedGraphs,
+def packed_aggregator(cfg: SHMPConfig, batch: PackedGraphs):
+    """Aggregation provider for packed batches: fn(x, conv_w) -> x_neigh
+    [N, K] per cfg.agg_mode (XLA scatter paths or the fused Pallas
+    kernel)."""
+    if cfg.agg_mode == "transform_first":
+        def agg_fn(x, conv_w):
+            return typed_transform_aggregate(
+                x, conv_w, batch.edge_src, batch.edge_dst,
+                batch.edge_type, cfg.n_edge_types)
+    elif cfg.agg_mode == "pallas":
+        from ..ops.pallas_segment import fused_typed_transform_aggregate
+
+        keys = (batch.edge_dst.astype(jnp.int32) * cfg.n_edge_types
+                + batch.edge_type.astype(jnp.int32))
+
+        def agg_fn(x, conv_w):
+            return fused_typed_transform_aggregate(
+                x, batch.edge_src, keys, conv_w,
+                cfg.n_edge_types, batch.n_cap)
+    else:
+        def agg_fn(x, conv_w):
+            agg = typed_edge_aggregate(
+                x, batch.edge_src, batch.edge_dst, batch.edge_type,
+                cfg.n_edge_types)  # [N, T_e, H]
+            return jnp.einsum("nth,thk->nk", agg, conv_w)
+    return agg_fn
+
+
+def run_shmp_layers(
+    params, cfg: SHMPConfig, x, ntype, nmask, aggregate_fn,
     train: bool = False, rng=None,
 ) -> jnp.ndarray:
-    """BaseGNNCore.forward (gnn_model.py:230-277): returns [N, post_input_dim]
-    concat-skip embeddings with padded rows zeroed."""
-    nmask = batch.node_mask[:, None].astype(cfg.dtype)
-    ntype = batch.node_type
-
+    """The L conv layers with concat-skip (gnn_model.py:253-277), shared
+    by the packed path (apply_shmp_core) and the halo-sharded path
+    (parallel/halo.halo_shmp_core). ``aggregate_fn(x, conv_w, layer)``
+    returns the type-transformed neighbor sum [N, K] (no bias)."""
     # per-dst-type conv bias accumulation: bias_by_ntype[t_n] =
     # sum of conv biases of edge types whose dst node type is t_n
     dst_t = jnp.asarray(cfg.edge_dst_type)
-
-    x = _per_type_linear(
-        batch.x.astype(cfg.dtype), params["pre"][0], params["pre"][1],
-        ntype, cfg.n_node_types)
-    x = x * nmask
     emb = x
-
     for l in range(cfg.layer_num):
         if rng is not None:
             rng, sub = jax.random.split(rng)
         else:
             sub = None
         conv_w, conv_b = params["conv"][0][l], params["conv"][1][l]
-        if cfg.agg_mode == "transform_first":
-            x_neigh = typed_transform_aggregate(
-                x, conv_w, batch.edge_src, batch.edge_dst,
-                batch.edge_type, cfg.n_edge_types)
-        else:
-            agg = typed_edge_aggregate(
-                x, batch.edge_src, batch.edge_dst, batch.edge_type,
-                cfg.n_edge_types)  # [T_e, N, H]
-            x_neigh = jnp.einsum("tnh,thk->nk", agg, conv_w)
+        x_neigh = aggregate_fn(x, conv_w, l)
         bias_by_ntype = jax.ops.segment_sum(
             conv_b, dst_t, num_segments=cfg.n_node_types)  # [T_n, H]
         x_neigh = x_neigh + bias_by_ntype[ntype]
@@ -169,8 +186,27 @@ def apply_shmp_core(
         x = _dropout(x, cfg.dropout, sub, train)
         x = x * nmask
         emb = jnp.concatenate([emb, x], axis=-1)
-
     return emb
+
+
+def apply_shmp_core(
+    params, cfg: SHMPConfig, batch: PackedGraphs,
+    train: bool = False, rng=None,
+) -> jnp.ndarray:
+    """BaseGNNCore.forward (gnn_model.py:230-277): returns [N, post_input_dim]
+    concat-skip embeddings with padded rows zeroed."""
+    nmask = batch.node_mask[:, None].astype(cfg.dtype)
+    ntype = batch.node_type
+
+    x = _per_type_linear(
+        batch.x.astype(cfg.dtype), params["pre"][0], params["pre"][1],
+        ntype, cfg.n_node_types)
+    x = x * nmask
+
+    agg = packed_aggregator(cfg, batch)
+    return run_shmp_layers(
+        params, cfg, x, ntype, nmask, lambda x_, w_, l_: agg(x_, w_),
+        train=train, rng=rng)
 
 
 def apply_shmp(

@@ -1,26 +1,29 @@
-"""Pallas TPU kernel: fused typed segment-sum + per-type transform.
+"""Pallas TPU kernels: sorted segment-sum + fused typed aggregation.
 
-The SHMP hot op is x_neigh[i] = sum_t W_t^T-applied (sum over type-t
-edges into i of x[src]). XLA's scatter-based segment-sum materializes a
-[T*N, H] buffer (mostly zeros) at ~40GB/s effective — the pipeline
-bottleneck. This kernel tiles over destination nodes and turns the
-segmented reduction into MXU one-hot matmuls:
+The SHMP hot op is x_neigh[i] = sum_t (sum over type-t edges into i of
+x[src]) @ W_t. XLA lowers the segmented reduction to a serial scatter at
+~40GB/s effective — the pipeline bottleneck (reference hot loop:
+gnn_model.py:326-333, torch-scatter CUDA). The TPU-native decomposition:
 
-  for each tile of 128 dst nodes:
-    for each chunk of CE edges in the tile's (sorted) edge range:
-      DMA keys+msgs chunk HBM -> VMEM
-      P[(t, local_dst), e] = one-hot of the chunk's (dst*T + t) keys
-      acc += P @ msgs_chunk                  # [T*128, CE] x [CE, H] MXU
-    out_tile = sum_t acc[t*128:(t+1)*128] @ W[t]
+  1. transform first (pure MXU): z[t] = x @ W_t for all nodes — a single
+     [N, H] x [T, H, K] einsum, tiny FLOPs next to the edge stream;
+  2. gather z[type[e], src[e]] -> msgs[e] (XLA gather, streams at HBM
+     bandwidth);
+  3. **Pallas sorted segment-sum** over dst: tile the (dst,type)-sorted
+     edge stream by destination, turn each CE-edge chunk into ONE MXU
+     one-hot matmul  acc += P @ msgs_chunk  with P[r,e] = (dst[e] ==
+     tile_base + r), bf16 inputs / f32 accumulate, double-buffered chunk
+     DMA from HBM.
 
-Requirements: edges sorted by (dst, type) — keys = dst*T + type sorted;
-messages pre-gathered contiguously ([E, H] = x[src] in edge order, one
-XLA gather); per-tile edge offsets from one searchsorted. Padding edges
-carry keys >= N*T and fall past the last tile. No [T*N, H] buffer is
-ever formed.
+No [T*N, H] scatter buffer is ever formed and the reduction runs at MXU
+speed instead of scatter speed. Requirements: edges sorted by (dst,
+type) — host packing guarantees it (batch/packed.py); node capacity a
+multiple of TILE_N (auto_capacities rounds to 128). Padding edges carry
+keys >= N*n_types, so their decoded dst lands past the last tile and is
+dropped natively.
 
-Exposes a custom VJP whose backward uses plain XLA ops (gather +
-per-type masked matmuls), so training through the op stays correct.
+The public op exposes a custom VJP whose backward uses plain XLA ops
+(gather + per-type masked matmuls), so training through the op is exact.
 """
 
 from __future__ import annotations
@@ -39,123 +42,178 @@ try:
 except Exception:  # pragma: no cover
     PALLAS_OK = False
 
-TILE_N = 128   # dst nodes per grid cell
-CE = 128       # edges per inner chunk
+SEG_TILE = 1024  # dst nodes (segments) per grid cell / accumulator rows
+CE = 512         # edges per inner chunk (DMA granularity)
+LANES = 128      # feature lanes (pad H up to this)
+TILE_N = 128     # lane-alignment quantum for capacities (back-compat)
 
 
-def _kernel(offs_ref, keys_hbm, msgs_hbm, w_ref, out_ref,
-            acc_ref, kbuf, mbuf, sem_k, sem_m, *, n_types: int, h: int):
+def default_agg_mode() -> str:
+    """'pallas' when running on real TPU hardware (the fused kernel),
+    'aggregate_first' on CPU/interpret platforms (plain XLA path)."""
+    if not PALLAS_OK:
+        return "aggregate_first"
+    try:
+        backend = jax.default_backend()
+    except Exception:  # pragma: no cover
+        return "aggregate_first"
+    return "aggregate_first" if backend == "cpu" else "pallas"
+
+
+KS = CE // 128  # key sub-rows per chunk (keys stored [n_chunks, KS, 128])
+
+
+def _segsum_kernel(offs_ref, seg_hbm, msgs_hbm, out_ref,
+                   acc_ref, sbuf, mbuf, sem_s, sem_m,
+                   *, seg_tile: int, ce: int):
+    """One output tile of seg_tile segments; double-buffered chunk loop.
+
+    Grid cells own many ce-edge chunks, so the next chunk's DMA overlaps
+    the current chunk's matmuls; cells share at most one boundary chunk,
+    so the edge stream is fetched ~once total.
+    """
+    ks = ce // 128
     i = pl.program_id(0)
-    base_row = i * TILE_N * n_types
+    base = i * seg_tile
     lo = offs_ref[i]
     hi = offs_ref[i + 1]
 
     acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # ALIGNED global chunks: [c0, c1) covers this tile's edge range; edges
-    # belonging to neighboring tiles (or padding) map outside [0, 128*T)
-    # and match no one-hot row, so no explicit masking is needed.
-    c0 = lo // CE
-    c1 = (hi + CE - 1) // CE
+    # ALIGNED global chunks: [c0, c1) covers this cell's edge range;
+    # edges of neighboring cells / padding map outside [0, seg_tile) and
+    # match no one-hot row, so no masking is needed.
+    c0 = lo // ce
+    c1 = lax_ceil_div(hi, ce)
+
+    def get_dma(slot, c):
+        return (
+            pltpu.make_async_copy(
+                seg_hbm.at[c], sbuf.at[slot], sem_s.at[slot]),
+            pltpu.make_async_copy(
+                msgs_hbm.at[pl.ds(c * ce, ce), :], mbuf.at[slot],
+                sem_m.at[slot]),
+        )
+
+    @pl.when(c0 < c1)
+    def _():
+        for d in get_dma(0, c0):
+            d.start()
 
     def chunk_body(c, _):
-        ck = pltpu.make_async_copy(keys_hbm.at[pl.ds(c, 1), :], kbuf, sem_k)
-        cm = pltpu.make_async_copy(
-            msgs_hbm.at[pl.ds(c * CE, CE), :], mbuf, sem_m)
-        ck.start()
-        cm.start()
-        ck.wait()
-        cm.wait()
-        local = kbuf[0, :] - base_row                     # [CE]
-        # key layout is dst*T + t; acc layout is [t][dst] blocks — remap
-        # row = t*TILE_N + dst_local, out-of-tile keys -> -1 (no row)
-        d_loc = local // n_types
-        t_loc = local - d_loc * n_types
-        row_of_e = jnp.where(
-            (local >= 0) & (local < TILE_N * n_types),
-            t_loc * TILE_N + d_loc, -1)
-        rows = jax.lax.broadcasted_iota(
-            jnp.int32, (TILE_N * n_types, CE), 0)
-        p = (rows == row_of_e[None, :]).astype(jnp.float32)
-        acc_ref[:] += jax.lax.dot_general(
-            p, mbuf[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        slot = (c - c0) % 2
+
+        @pl.when(c + 1 < c1)
+        def _():
+            for d in get_dma((c - c0 + 1) % 2, c + 1):
+                d.start()
+
+        for d in get_dma(slot, c):
+            d.wait()
+
+        # one MXU one-hot matmul per 128-key sub-row:
+        # [seg_tile, 128] x [128, LANES]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (seg_tile, 128), 0)
+        for j in range(ks):
+            row_of_e = sbuf[slot, j, :] - base              # [128]
+            p = (rows == row_of_e[None, :]).astype(jnp.bfloat16)
+            acc_ref[:] += jax.lax.dot_general(
+                p, mbuf[slot, j * 128:(j + 1) * 128, :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
         return 0
 
     jax.lax.fori_loop(c0, c1, chunk_body, 0)
-
-    out = jnp.zeros((TILE_N, h), jnp.float32)
-    for t in range(n_types):
-        out = out + jax.lax.dot_general(
-            acc_ref[t * TILE_N:(t + 1) * TILE_N, :], w_ref[t],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-    out_ref[:] = out
+    out_ref[:] = acc_ref[:]
 
 
-def fused_typed_aggregate_fwd(
-    msgs: jnp.ndarray,    # [E, H] pre-gathered x[src] in (dst,type) order
-    keys: jnp.ndarray,    # [E] sorted keys = dst * n_types + type
-    conv_w: jnp.ndarray,  # [T, H, H]
-    n_nodes: int,
+def lax_ceil_div(a, b: int):
+    return (a + (b - 1)) // b
+
+
+def pallas_sorted_segment_sum(
+    msgs: jnp.ndarray,   # [E, K] edge messages, (dst,type)-sorted order
+    seg: jnp.ndarray,    # [E] i32 sorted segment ids; ids >= n_segments
+                         #     (padding) are dropped
+    n_segments: int,
+    seg_tile: int = SEG_TILE,
+    ce: int = CE,
 ) -> jnp.ndarray:
-    n_types, h, k = conv_w.shape
-    assert h == k, "fused kernel requires square conv weights"
-    assert n_nodes % TILE_N == 0, "pad node capacity to a TILE_N multiple"
-    n_tiles = n_nodes // TILE_N
-    bounds = jnp.arange(n_tiles + 1, dtype=jnp.int32) * (TILE_N * n_types)
-    offs = jnp.searchsorted(
-        keys, bounds, method="scan_unrolled").astype(jnp.int32)
+    """Segment-sum of a sorted edge stream via MXU one-hot matmuls.
 
-    # HBM memref slices need 128-aligned lanes: pad the edge stream to a
-    # CE multiple, keys as [E/CE, CE] rows, features to 128 lanes
-    hp = 128
-    e = keys.shape[0]
-    e_pad = ((e + CE - 1) // CE) * CE
-    keys2 = jnp.concatenate(
-        [keys.astype(jnp.int32),
-         jnp.full((e_pad - e,), np.int32(2 ** 30), jnp.int32)]
-    ).reshape(e_pad // CE, CE)
-    msgs2 = jnp.zeros((e_pad, hp), jnp.float32).at[:e, :h].set(
-        msgs.astype(jnp.float32))
-    w2 = jnp.zeros((n_types, hp, hp), jnp.float32).at[:, :h, :h].set(
-        conv_w.astype(jnp.float32))
+    Returns [n_segments, K] f32 (internally padded to a seg_tile
+    multiple). Messages are reduced in bf16 (f32 accumulate) — the same
+    precision XLA uses for every matmul on TPU at default settings.
+    """
+    e, k = msgs.shape
+    ks = ce // 128
+    n_pad = ((n_segments + seg_tile - 1) // seg_tile) * seg_tile
+    n_tiles = n_pad // seg_tile
+    bounds = jnp.arange(n_tiles + 1, dtype=jnp.int32) * seg_tile
+    offs = jnp.searchsorted(
+        seg.astype(jnp.int32), bounds, method="scan_unrolled"
+    ).astype(jnp.int32)
+
+    e_pad = ((e + ce - 1) // ce) * ce
+    seg2 = seg.astype(jnp.int32)
+    if e_pad != e:
+        seg2 = jnp.concatenate(
+            [seg2, jnp.full((e_pad - e,), np.int32(2 ** 30), jnp.int32)])
+    seg2 = seg2.reshape(e_pad // ce, ks, 128)
+    if msgs.dtype == jnp.bfloat16 and k == LANES and e_pad == e:
+        msgs2 = msgs
+    else:
+        msgs2 = jnp.zeros((e_pad, LANES), jnp.bfloat16).at[:e, :k].set(
+            msgs.astype(jnp.bfloat16))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # keys (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),   # seg (flat, HBM)
             pl.BlockSpec(memory_space=pltpu.ANY),   # msgs (HBM)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # conv_w
         ],
-        out_specs=pl.BlockSpec(
-            (TILE_N, hp), lambda i, *_: (i, 0)),
+        out_specs=pl.BlockSpec((seg_tile, LANES), lambda i, *_: (i, 0)),
         scratch_shapes=[
-            pltpu.VMEM((TILE_N * n_types, hp), jnp.float32),
-            pltpu.VMEM((1, CE), jnp.int32),
-            pltpu.VMEM((CE, hp), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((seg_tile, LANES), jnp.float32),    # acc
+            pltpu.VMEM((2, ks, 128), jnp.int32),           # seg chunks
+            pltpu.VMEM((2, ce, LANES), jnp.bfloat16),      # msg chunks
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, n_types=n_types, h=hp),
+        functools.partial(_segsum_kernel, seg_tile=seg_tile, ce=ce),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_nodes, hp), jnp.float32),
-    )(offs, keys2, msgs2, w2)
-    return out[:, :h]
+        out_shape=jax.ShapeDtypeStruct((n_pad, LANES), jnp.float32),
+    )(offs, seg2, msgs2)
+    return out[:n_segments, :k]
 
 
 # ------------------------------------------------------- public op (VJP)
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def fused_typed_transform_aggregate(x, edge_src, keys, conv_w,
                                     n_types: int, n_nodes: int):
-    """x_neigh [N, H]: W[type]-transformed sum of x[src] over
+    """x_neigh [N, K]: W[type]-transformed sum of x[src] over
     (dst,type)-sorted edges (keys = dst*n_types + type; padding keys
-    >= N*n_types are dropped)."""
-    msgs = jnp.take(x, edge_src, axis=0, fill_value=0.0)
-    return fused_typed_aggregate_fwd(msgs, keys, conv_w, n_nodes)
+    >= N*n_types decode to dst >= N and are dropped).
+
+    Transform-first: z[t] = x @ W_t on the MXU, one gather into edge
+    order, Pallas sorted segment-sum over dst. Requires x[pad_node] == 0
+    (packed-batch invariant) so padding edges gather zero rows.
+    """
+    n, h = x.shape
+    k = conv_w.shape[2]
+    z = jnp.einsum("nh,thk->tnk", x, conv_w).reshape(n_types * n, k)
+    # bf16 + lane-padded BEFORE the gather: the gather then emits the
+    # exact [E, LANES] bf16 layout the kernel DMAs, no edge-stream copy
+    zp = jnp.zeros((n_types * n, LANES), jnp.bfloat16)
+    zp = zp.at[:, :k].set(z.astype(jnp.bfloat16))
+    dst = (keys // n_types).astype(jnp.int32)
+    typ = (keys - dst * n_types).astype(jnp.int32)
+    idx = jnp.clip(typ, 0, n_types - 1) * n + edge_src.astype(jnp.int32)
+    msgs = jnp.take(zp, idx, axis=0, fill_value=0.0)
+    return pallas_sorted_segment_sum(msgs, dst, n_nodes)[:, :k]
 
 
 def _fwd(x, edge_src, keys, conv_w, n_types, n_nodes):
@@ -171,12 +229,14 @@ def _bwd(n_types, n_nodes, res, g):
     live = dst < n_nodes
     g_rows = jnp.take(g, jnp.minimum(dst, n_nodes - 1), axis=0)
     g_rows = g_rows * live[:, None]
-    wt = jnp.take(conv_w, jnp.minimum(etype, n_types - 1), axis=0)
-    dmsgs = jnp.einsum("ek,ehk->eh", g_rows, wt)
+    seg = jnp.where(live, etype, n_types)
+    # per-type masked matmuls: never materialize [E, H, K]
+    dmsgs = jnp.zeros((g_rows.shape[0], x.shape[1]), g_rows.dtype)
+    for t in range(n_types):
+        dmsgs = dmsgs + (g_rows @ conv_w[t].T) * (seg == t)[:, None]
     dx = jax.ops.segment_sum(dmsgs, edge_src.astype(jnp.int32),
                              x.shape[0])
     msgs = jnp.take(x, edge_src, axis=0, fill_value=0.0)
-    seg = jnp.where(live, etype, n_types)
     dw = jnp.stack([
         (msgs * (seg == t)[:, None]).T @ g_rows for t in range(n_types)
     ])

@@ -33,18 +33,19 @@ def typed_edge_aggregate(
     edge_type: jnp.ndarray,  # [E] i32, values in [0, T)
     n_types: int,
 ) -> jnp.ndarray:
-    """SHMP aggregation: out[t, i] = sum over edges e of type t with
-    dst(e)==i of x[src(e)]. Returns [T, N, H].
+    """SHMP aggregation: out[i, t] = sum over edges e of type t with
+    dst(e)==i of x[src(e)]. Returns [N, T, H].
 
-    One fused gather + segment-sum over the combined key ``t*N + dst``;
-    edges are pre-sorted by (type, dst) on the host, so segment ids are
-    sorted (monotone scatter).
+    One fused gather + segment-sum over the combined key ``dst*T + t``;
+    edges are pre-sorted by (dst, type) on the host, so segment ids are
+    sorted (monotone scatter). The [N, T, H] layout makes the per-type
+    conv transform a single [N, T*H] @ [T*H, K] matmul downstream.
     """
     n = x.shape[0]
-    seg = edge_type.astype(jnp.int32) * n + edge_dst.astype(jnp.int32)
+    seg = edge_dst.astype(jnp.int32) * n_types + edge_type.astype(jnp.int32)
     msgs = jnp.take(x, edge_src, axis=0)
     agg = segment_sum(msgs, seg, n_types * n, indices_are_sorted=True)
-    return agg.reshape(n_types, n, x.shape[1])
+    return agg.reshape(n, n_types, x.shape[1])
 
 
 def typed_transform_aggregate(
@@ -66,7 +67,9 @@ def typed_transform_aggregate(
     flat = y.reshape(n_types * n, conv_w.shape[2])
     idx = edge_type.astype(jnp.int32) * n + edge_src.astype(jnp.int32)
     msgs = jnp.take(flat, idx, axis=0, fill_value=0.0)
-    return segment_sum(msgs, edge_dst.astype(jnp.int32), n)
+    # edges are (dst, type)-sorted on the host -> dst is monotone
+    return segment_sum(msgs, edge_dst.astype(jnp.int32), n,
+                       indices_are_sorted=True)
 
 
 def graph_pool_sum(

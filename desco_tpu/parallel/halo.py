@@ -57,6 +57,7 @@ class HaloPartition:
     # halo exchange plan
     send_idx: np.ndarray     # [D, D, h_max] local ids this device sends
     send_mask: np.ndarray    # [D, D, h_max]
+    node_y: Optional[np.ndarray] = None  # [D, n_loc, Q] per-node labels
     n_graphs: int = struct.field(pytree_node=False, default=1)
 
     @property
@@ -83,6 +84,7 @@ def partition_typed_graph(
     node_graph: Optional[np.ndarray] = None,
     n_graphs: int = 1,
     pad_edge_type: int = 63,
+    node_y: Optional[np.ndarray] = None,
 ) -> HaloPartition:
     """Host-side partitioner: contiguous node ranges, dst-owned edges,
     static halo send lists."""
@@ -97,6 +99,8 @@ def partition_typed_graph(
     NT = np.zeros((d, n_loc), np.int32)
     NM = np.zeros((d, n_loc), np.float32)
     NG = np.zeros((d, n_loc), np.int32)
+    NY = (np.zeros((d, n_loc, node_y.shape[1]), np.float32)
+          if node_y is not None else None)
     for dev in range(d):
         lo, hi = dev * n_loc, min((dev + 1) * n_loc, n_nodes)
         k = hi - lo
@@ -106,6 +110,8 @@ def partition_typed_graph(
         NT[dev, :k] = node_type[lo:hi]
         NM[dev, :k] = 1.0
         NG[dev, :k] = node_graph[lo:hi] if node_graph is not None else 0
+        if NY is not None:
+            NY[dev, :k] = node_y[lo:hi]
     NG[NM == 0] = n_graphs  # pad slot
 
     # per-device halo needs
@@ -150,10 +156,10 @@ def partition_typed_graph(
                 continue
             pos = np.searchsorted(needed[dev][p], es[sel])
             src_ext[sel] = n_loc + p * h_max + pos
-        # sort by (type, dst) for sorted segment sums; halo-src edges get
-        # a type offset so local/halo partials separate cleanly? No —
-        # keep one sorted stream; overlap comes from XLA scheduling.
-        order = np.lexsort((ed - dev * n_loc, et))
+        # sort by (dst, type) for sorted dst*T+type segment sums (same
+        # stream layout as batch/packed.py); overlap of the collective
+        # with local compute comes from XLA scheduling.
+        order = np.lexsort((et, ed - dev * n_loc))
         m = len(es)
         ES[dev, :m] = src_ext[order]
         ED[dev, :m] = (ed - dev * n_loc)[order]
@@ -165,7 +171,8 @@ def partition_typed_graph(
     return HaloPartition(
         x=X, node_type=NT, node_mask=NM, node_graph=NG,
         edge_src_ext=ES, edge_dst=ED, edge_type=ET,
-        send_idx=send_idx, send_mask=send_mask, n_graphs=n_graphs)
+        send_idx=send_idx, send_mask=send_mask, node_y=NY,
+        n_graphs=n_graphs)
 
 
 # ------------------------------------------------------------- device side
@@ -194,54 +201,54 @@ def halo_typed_aggregate(
     edge_type: jnp.ndarray,     # [e_loc]
     n_types: int,
 ) -> jnp.ndarray:
-    """Typed aggregation over this shard's edges: [T, n_loc, H]."""
+    """Typed aggregation over this shard's edges: [n_loc, T, H]."""
     n_loc = x_local.shape[0]
     table = jnp.concatenate([x_local, halo], axis=0)
     msgs = jnp.take(table, edge_src_ext, axis=0)
-    seg = edge_type.astype(jnp.int32) * n_loc + edge_dst.astype(jnp.int32)
+    seg = edge_dst.astype(jnp.int32) * n_types + edge_type.astype(jnp.int32)
     agg = segment_sum(msgs, seg, n_types * n_loc, indices_are_sorted=True)
-    return agg.reshape(n_types, n_loc, x_local.shape[1])
+    return agg.reshape(n_loc, n_types, x_local.shape[1])
 
 
-def halo_shmp_core(params, cfg, part_shard, axis: str = "graph"):
-    """SHMP core over ONE sharded graph — runs INSIDE shard_map, one
-    device's shard of a HaloPartition (leading device axis stripped).
-
-    Mirrors apply_shmp_core (models/shmp_gnn.py) exactly: per-node-type
-    pre/update linears are local; the typed aggregation gathers remote
-    sources through a fresh halo exchange per layer. Returns the local
-    slice of the concat-skip embeddings [n_loc, post_input_dim].
-    """
-    from ..models.shmp_gnn import _per_type_linear
-
-    nmask = part_shard.node_mask[:, None].astype(cfg.dtype)
-    ntype = part_shard.node_type
-    dst_t = jnp.asarray(cfg.edge_dst_type)
-
-    x = _per_type_linear(
-        part_shard.x.astype(cfg.dtype), params["pre"][0], params["pre"][1],
-        ntype, cfg.n_node_types)
-    x = x * nmask
-    emb = x
-
-    for l in range(cfg.layer_num):
+def halo_aggregator(cfg, part_shard, axis: str = "graph"):
+    """Aggregation provider for the sharded path: per layer, exchange
+    boundary features then typed-aggregate over local edges."""
+    def agg_fn(x, conv_w, _layer):
         halo = halo_exchange(x, part_shard.send_idx, part_shard.send_mask,
                              axis)
         agg = halo_typed_aggregate(
             x, halo, part_shard.edge_src_ext, part_shard.edge_dst,
             part_shard.edge_type, cfg.n_edge_types)
-        conv_w, conv_b = params["conv"][0][l], params["conv"][1][l]
-        x_neigh = jnp.einsum("tnh,thk->nk", agg, conv_w)
-        bias_by_ntype = jax.ops.segment_sum(
-            conv_b, dst_t, num_segments=cfg.n_node_types)
-        x_neigh = x_neigh + bias_by_ntype[ntype]
-        upd_in = jnp.concatenate([x_neigh, x], axis=-1)
-        x = _per_type_linear(
-            upd_in, params["upd"][0][l], params["upd"][1][l],
-            ntype, cfg.n_node_types)
-        x = jax.nn.relu(x) * nmask
-        emb = jnp.concatenate([emb, x], axis=-1)
-    return emb
+        return jnp.einsum("nth,thk->nk", agg, conv_w)
+    return agg_fn
+
+
+def halo_shmp_core(params, cfg, part_shard, axis: str = "graph",
+                   train: bool = False, rng=None):
+    """SHMP core over ONE sharded graph — runs INSIDE shard_map, one
+    device's shard of a HaloPartition (leading device axis stripped).
+
+    Shares the exact layer body with apply_shmp_core
+    (models/shmp_gnn.run_shmp_layers — SAGE/GIN/GCN, dropout, concat
+    skip); only the aggregation provider differs: remote sources arrive
+    through a fresh halo exchange per layer. Returns the local slice of
+    the concat-skip embeddings [n_loc, post_input_dim].
+    """
+    from ..models.shmp_gnn import _per_type_linear, run_shmp_layers
+
+    nmask = part_shard.node_mask[:, None].astype(cfg.dtype)
+    ntype = part_shard.node_type
+
+    x = _per_type_linear(
+        part_shard.x.astype(cfg.dtype), params["pre"][0], params["pre"][1],
+        ntype, cfg.n_node_types)
+    x = x * nmask
+    if rng is not None:
+        # per-shard dropout streams
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+    return run_shmp_layers(
+        params, cfg, x, ntype, nmask,
+        halo_aggregator(cfg, part_shard, axis), train=train, rng=rng)
 
 
 def halo_graph_pool(emb_local, node_graph_local, n_graphs: int,
@@ -275,7 +282,7 @@ def halo_gossip_single(params, part_shard, x_col_local, query_emb,
                            part_shard.send_idx, part_shard.send_mask, axis)
     deg = halo_typed_aggregate(
         part_shard.node_mask[:, None], halo_m, part_shard.edge_src_ext,
-        part_shard.edge_dst, part_shard.edge_type, 2)[..., 0]
+        part_shard.edge_dst, part_shard.edge_type, 2)[..., 0]  # [n_loc, 2]
 
     for conv in params["convs"]:
         g = _gate(conv, query_emb)
@@ -284,9 +291,9 @@ def halo_gossip_single(params, part_shard, x_col_local, query_emb,
         agg = halo_typed_aggregate(
             x, halo, part_shard.edge_src_ext, part_shard.edge_dst,
             part_shard.edge_type, 2)
-        mixed = g * agg[0] + (1.0 - g) * agg[1]
+        mixed = g * agg[:, 0] + (1.0 - g) * agg[:, 1]
         wc, bc = conv["com"]
-        wdeg = (g * deg[0] + (1.0 - g) * deg[1])[:, None]
+        wdeg = (g * deg[:, 0] + (1.0 - g) * deg[:, 1])[:, None]
         aggr = mixed @ wc + bc * wdeg
         wu, bu = conv["upd"]
         x = jax.nn.relu(
@@ -299,3 +306,53 @@ def halo_gossip_single(params, part_shard, x_col_local, query_emb,
     h = jax.nn.relu(h @ w3 + b3)
     out = (h @ w4 + b4)[:, 0]
     return out * part_shard.node_mask
+
+
+# ------------------------------------------------------- training (halo)
+def halo_gossip_loss(params, part_shard, query_embs,
+                     axis: str = "graph"):
+    """Gossip objective over ONE sharded large graph — runs inside
+    shard_map. Same semantics as models/gossip.gossip_loss (SUM over
+    nodes and queries of log2(|gossip + neigh - truth| + 1),
+    lightning_model.py:630-635) with the psum making the scalar global,
+    so gradients through the per-layer all_to_all exchanges are exact.
+
+    part_shard.x: [n_loc, Q] stage-1 counts; node_y: [n_loc, Q] truth.
+    """
+    def one_query(_, inp):
+        q_emb, x_col, y_col = inp
+        gossip = halo_gossip_single(params, part_shard, x_col, q_emb, axis)
+        pred = gossip + x_col
+        loss = jnp.log2(jnp.abs(pred - y_col) + 1.0)
+        return None, (loss * part_shard.node_mask).sum()
+
+    _, losses = jax.lax.scan(
+        jax.checkpoint(one_query), None,
+        (query_embs, part_shard.x.T, part_shard.node_y.T))
+    return jax.lax.psum(losses.sum(), axis)
+
+
+def halo_gossip_step_fn(tx, mesh, axis: str = "graph"):
+    """Jitted gossip train step over a halo-partitioned graph: params
+    replicated, graph sharded on the ``graph`` mesh axis, gradients flow
+    through the halo all_to_all; the psum'd global loss differentiates
+    to replicated gradients (same VMA argument as parallel/dp.py)."""
+    import optax
+    from functools import partial
+    from jax.sharding import PartitionSpec as P
+
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(), P()),
+        out_specs=(P(), P(), P()),
+    )
+    def step(params, opt_state, part, query_embs, lr):
+        shard = jax.tree_util.tree_map(lambda a: a[0], part)
+        loss, grads = jax.value_and_grad(
+            lambda p: halo_gossip_loss(p, shard, query_embs, axis))(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        updates = jax.tree_util.tree_map(lambda u: u * lr, updates)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step

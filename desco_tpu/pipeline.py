@@ -62,6 +62,9 @@ class PipelineConfig:
     gossip_batch_size: int = 256
     gossip_lr: float = 1e-3
     gossip_weight_decay: float = 0.0
+    # typed-aggregation kernel for the neighborhood target tower:
+    # 'auto' -> fused Pallas kernel on TPU, XLA path on CPU
+    agg_mode: str = "auto"
     # misc
     seed: int = 0
     data_root: str = "data"
@@ -74,11 +77,14 @@ class PipelineConfig:
 
 
 def model_configs(cfg: PipelineConfig):
+    from .ops.pallas_segment import default_agg_mode
+
+    agg = cfg.agg_mode if cfg.agg_mode != "auto" else default_agg_mode()
     tgt = neighborhood_target_config(
         use_tconv=cfg.use_tconv, use_hetero=cfg.use_hetero,
         input_dim=cfg.neigh_input_dim, hidden_dim=cfg.neigh_hidden_dim,
         output_dim=cfg.neigh_hidden_dim, layer_num=cfg.neigh_layer_num,
-        conv_type=cfg.conv_type, dropout=cfg.neigh_dropout)
+        conv_type=cfg.conv_type, dropout=cfg.neigh_dropout, agg_mode=agg)
     qry = query_config(
         use_tconv=cfg.use_tconv,
         input_dim=cfg.neigh_input_dim, hidden_dim=cfg.neigh_hidden_dim,

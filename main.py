@@ -146,17 +146,20 @@ def main(argv=None) -> int:
               counts["test"])
     _save_csv(output_dir, f"neighborhood_node_{args.test_dataset}_index.csv",
               test_stage.nindex.index)
+    final_graphlet = graphlet_neigh
     if gossip_node_counts is not None:
         graphlet_gossip = wl.aggregate_node_counts(gossip_node_counts)
+        final_graphlet = graphlet_gossip
         _save_csv(output_dir, f"gossip_graphlet_{args.test_dataset}.csv",
                   np.round(np.maximum(graphlet_gossip, 0)))
         _save_csv(output_dir, f"gossip_node_{args.test_dataset}_results.csv",
                   gossip_node_counts)
-        truth_graphlet = wl.aggregate_node_counts(test_stage.truth)
-        _save_csv(output_dir, f"graphlet_count_{args.test_dataset}.csv",
-                  np.round(np.maximum(graphlet_gossip, 0)))
-        _save_csv(output_dir, f"graphlet_truth_{args.test_dataset}.csv",
-                  truth_graphlet)
+    # the pipeline's final graphlet counts (gossip-refined when stage 3
+    # ran, stage-1 otherwise) + exact truth, for external analysis
+    _save_csv(output_dir, f"graphlet_count_{args.test_dataset}.csv",
+              np.round(np.maximum(final_graphlet, 0)))
+    _save_csv(output_dir, f"graphlet_truth_{args.test_dataset}.csv",
+              wl.aggregate_node_counts(test_stage.truth))
 
     # -------------------------------------------------------- analysis
     metrics = evaluate_graphlet_counts(cfg, test_stage, counts["test"],

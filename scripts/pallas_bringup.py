@@ -1,0 +1,222 @@
+"""TPU hardware bring-up for the fused Pallas typed-aggregate kernel.
+
+A buggy Pallas kernel can wedge the shared chip/tunnel for ~10 min, so
+this escalates through sizes: tiny (one tile) -> small -> bench-shaped,
+checking numerics against the XLA path at each step and only then
+timing. Run under `timeout`:
+
+    timeout 300 python scripts/pallas_bringup.py [stage]
+
+stage in {tiny, small, bench, all} (default: tiny).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+# repo root importable without PYTHONPATH (which breaks the axon
+# platform plugin registration at interpreter start)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def make_case(rng, N, T, H, E):
+    """(dst,type)-sorted random typed edges, CE-aligned padding tail."""
+    from desco_tpu.ops.pallas_segment import CE
+
+    x = rng.standard_normal((N, H)).astype(np.float32)
+    # leave the last node slot as the pad node (packed-batch convention)
+    dst = rng.integers(0, N - 1, E)
+    typ = rng.integers(0, T, E)
+    src = rng.integers(0, N - 1, E)
+    keys = dst * T + typ
+    order = np.argsort(keys, kind="stable")
+    keys, src = keys[order].astype(np.int32), src[order].astype(np.int32)
+    e_pad = ((E + CE - 1) // CE) * CE
+    pad = e_pad - E
+    keys = np.concatenate([keys, np.full(pad, (N - 1) * T + 63, np.int32)])
+    src = np.concatenate([src, np.full(pad, N - 1, np.int32)])
+    x[N - 1] = 0.0
+    w = (rng.standard_normal((T, H, H)) * 0.1).astype(np.float32)
+    return x, src, keys, w
+
+
+def xla_ref(x, src, keys, w, T, N):
+    """Aggregate-then-transform per type (no [E,H,H] materialization)."""
+    from desco_tpu.ops.segment import segment_sum
+
+    msgs = jnp.take(jnp.asarray(x), jnp.asarray(src), axis=0)
+    d = jnp.asarray((keys // T).astype(np.int32))
+    t = jnp.asarray((keys % T).astype(np.int32))
+    live = (d < N)
+    out = jnp.zeros((N, w.shape[2]), jnp.float32)
+    for ti in range(T):
+        sel = (live & (t == ti))[:, None]
+        agg = segment_sum(msgs * sel, jnp.minimum(d, N - 1), N)
+        out = out + agg @ jnp.asarray(w[ti])
+    return out
+
+
+def run_stage(rng, N, T, H, E, label, time_it=False):
+    from desco_tpu.ops.pallas_segment import fused_typed_transform_aggregate
+
+    x, src, keys, w = make_case(rng, N, T, H, E)
+    fn = jax.jit(lambda x_, s_, k_, w_: fused_typed_transform_aggregate(
+        x_, s_, k_, w_, T, N))
+    xd, sd, kd, wd = map(jnp.asarray, (x, src, keys, w))
+    t0 = time.perf_counter()
+    out = np.asarray(fn(xd, sd, kd, wd))
+    print(f"[{label}] compile+run {time.perf_counter() - t0:.1f}s",
+          flush=True)
+    ref = np.asarray(xla_ref(x, src, keys, w, T, N))
+    err = np.abs(out - ref).max() / max(np.abs(ref).max(), 1e-6)
+    print(f"[{label}] rel err {err:.2e}", flush=True)
+    # TPU MXU default precision is bf16 inputs / f32 accumulate — the
+    # same precision every XLA einsum in the model runs at; interpret-
+    # mode CI tests hold the strict f32 tolerance.
+    assert err < 5e-3, f"{label}: kernel mismatch"
+    if time_it:
+        for reps in (10, 50):
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                out = fn(xd, sd, kd, wd)
+            _ = np.asarray(out)
+            dt = (time.perf_counter() - t0) / reps
+        print(f"[{label}] {dt * 1e3:.3f} ms/call -> "
+              f"{E / dt / 1e6:.1f}M edges/s (single agg)", flush=True)
+
+        # XLA comparison points at the same shapes
+        from desco_tpu.ops.segment import (
+            typed_edge_aggregate, typed_transform_aggregate,
+        )
+        dst = (keys // T).clip(0, N - 1).astype(np.int32)
+        typ = np.where(keys // T < N, keys % T, 63).astype(np.int32)
+        dd, td = jnp.asarray(dst), jnp.asarray(typ)
+
+        agg1 = jax.jit(lambda x_, w_: jnp.einsum(
+            "nth,thk->nk",
+            typed_edge_aggregate(x_, sd, dd, td, T), w_))
+        agg2 = jax.jit(lambda x_, w_: typed_transform_aggregate(
+            x_, w_, sd, dd, td, T))
+        for name, f in (("xla_agg_first", agg1), ("xla_tfm_first", agg2)):
+            _ = np.asarray(f(xd, wd))
+            t0 = time.perf_counter()
+            for _ in range(50):
+                o = f(xd, wd)
+            _ = np.asarray(o)
+            dt = (time.perf_counter() - t0) / 50
+            print(f"[{label}] {name}: {dt * 1e3:.3f} ms/call -> "
+                  f"{E / dt / 1e6:.1f}M edges/s", flush=True)
+
+
+def run_parts(rng, N, T, H, E):
+    """Time the op's pieces separately: wrapper (einsum+pad+gather) vs
+    the Pallas segment-sum vs XLA sorted-scatter on identical inputs."""
+    import jax.numpy as jnp
+
+    from desco_tpu.ops.pallas_segment import (
+        LANES, pallas_sorted_segment_sum,
+    )
+    from desco_tpu.ops.segment import segment_sum
+
+    x, src, keys, w = make_case(rng, N, T, H, E)
+    xd, sd, kd, wd = map(jnp.asarray, (x, src, keys, w))
+
+    def wrapper_only(x_, s_, k_, w_):
+        n = x_.shape[0]
+        z = jnp.einsum("nh,thk->tnk", x_, w_).reshape(T * n, H)
+        zp = jnp.zeros((T * n, LANES), jnp.bfloat16).at[:, :H].set(
+            z.astype(jnp.bfloat16))
+        dst = (k_ // T).astype(jnp.int32)
+        typ = (k_ - dst * T).astype(jnp.int32)
+        idx = jnp.clip(typ, 0, T - 1) * n + s_.astype(jnp.int32)
+        return jnp.take(zp, idx, axis=0, fill_value=0.0), dst
+
+    msgs_d, dst_d = jax.jit(wrapper_only)(xd, sd, kd, wd)
+    _ = np.asarray(msgs_d)
+
+    cases = {
+        "wrapper(einsum+gather)": (
+            jax.jit(lambda a, b, c, d: wrapper_only(a, b, c, d)[0]),
+            (xd, sd, kd, wd)),
+        "pallas_segsum": (
+            jax.jit(lambda m, d: pallas_sorted_segment_sum(m, d, N)),
+            (msgs_d, dst_d)),
+        "xla_sorted_scatter": (
+            jax.jit(lambda m, d: segment_sum(
+                m.astype(jnp.float32), jnp.minimum(d, N - 1), N,
+                indices_are_sorted=True)),
+            (msgs_d, dst_d)),
+    }
+    for name, (f, a) in cases.items():
+        o = f(*a)
+        _ = np.asarray(o)
+        t0 = time.perf_counter()
+        for _ in range(50):
+            o = f(*a)
+        _ = np.asarray(o)
+        dt = (time.perf_counter() - t0) / 50
+        print(f"[parts] {name}: {dt * 1e3:.3f} ms -> "
+              f"{E / dt / 1e6:.1f}M edges/s", flush=True)
+
+
+def run_sweep(rng, N, T, H, E):
+    """Sweep (seg_tile, ce) of the segment-sum kernel on hardware."""
+    import jax.numpy as jnp
+
+    from desco_tpu.ops.pallas_segment import (
+        LANES, pallas_sorted_segment_sum,
+    )
+    from desco_tpu.ops.segment import segment_sum
+
+    x, src, keys, w = make_case(rng, N, T, H, E)
+    dst = (keys // T).astype(np.int32)
+    mr = rng.standard_normal((len(keys), LANES)).astype(np.float32)
+    msgs_d = jnp.asarray(mr, jnp.bfloat16)
+    dst_d = jnp.asarray(dst)
+    ref = np.asarray(jax.jit(lambda m, d: segment_sum(
+        m.astype(jnp.float32), jnp.minimum(d, N - 1), N,
+        indices_are_sorted=True))(msgs_d, dst_d) *
+        (np.arange(N) < N)[:, None])
+
+    for st in (256, 512, 1024):
+        for ce in (512, 1024, 2048):
+            f = jax.jit(lambda m, d, st=st, ce=ce:
+                        pallas_sorted_segment_sum(m, d, N, st, ce))
+            out = np.asarray(f(msgs_d, dst_d))
+            err = np.abs(out - ref).max() / max(np.abs(ref).max(), 1e-6)
+            t0 = time.perf_counter()
+            for _ in range(50):
+                o = f(msgs_d, dst_d)
+            _ = np.asarray(o)
+            dt = (time.perf_counter() - t0) / 50
+            print(f"[sweep] st={st} ce={ce}: {dt * 1e3:.3f} ms -> "
+                  f"{E / dt / 1e6:.1f}M edges/s  err {err:.1e}",
+                  flush=True)
+
+
+def main():
+    stage = sys.argv[1] if len(sys.argv) > 1 else "tiny"
+    print("devices:", jax.devices(), flush=True)
+    rng = np.random.default_rng(0)
+    if stage in ("tiny", "all"):
+        run_stage(rng, 128, 6, 64, 200, "tiny")
+    if stage in ("small", "all"):
+        run_stage(rng, 1024, 6, 64, 8192, "small")
+    if stage in ("bench", "all"):
+        run_stage(rng, 43008, 6, 64, 524288, "bench", time_it=True)
+    if stage == "parts":
+        run_parts(rng, 43008, 6, 64, 524288)
+    if stage == "sweep":
+        run_sweep(rng, 43008, 6, 64, 524288)
+    print("OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -72,8 +72,8 @@ def test_pack_shapes_and_masks(rng):
         assert np.all(b.edge_src[pad_e] == n_cap - 1)
         assert np.all(b.edge_dst[pad_e] == n_cap - 1)
         assert np.all(b.edge_type[pad_e] == PAD_EDGE_TYPE)
-        # segment key (type, dst) is globally sorted incl. the pad tail
-        key = b.edge_type.astype(np.int64) * n_cap + b.edge_dst
+        # segment key (dst, type) is globally sorted incl. the pad tail
+        key = b.edge_dst.astype(np.int64) * (PAD_EDGE_TYPE + 1) + b.edge_type
         assert np.all(np.diff(key) >= 0)
         # pad nodes pool into the extra segment
         assert np.all(b.node_graph[b.node_mask == 0] == g_cap)
@@ -264,8 +264,8 @@ def test_gossip_aggregate_refactor_exact(rng):
     deg = typed_edge_aggregate(b.node_mask[:, None], b.edge_src, b.edge_dst,
                                b.edge_type, 2)[..., 0]
     wc, bc = conv["com"]
-    ours = (gval * agg[0] + (1 - gval) * agg[1]) @ wc + bc * (
-        gval * deg[0] + (1 - gval) * deg[1])[:, None]
+    ours = (gval * agg[:, 0] + (1 - gval) * agg[:, 1]) @ wc + bc * (
+        gval * deg[:, 0] + (1 - gval) * deg[:, 1])[:, None]
     np.testing.assert_allclose(np.asarray(ours)[:10], ref[:10], rtol=1e-4,
                                atol=1e-5)
 
@@ -313,7 +313,7 @@ def test_typed_transform_aggregate_equivalence(rng):
     w = jnp.asarray(rng.standard_normal((6, 8, 8)), jnp.float32)
 
     agg = typed_edge_aggregate(x, b.edge_src, b.edge_dst, b.edge_type, 6)
-    ref = jnp.einsum("tnh,thk->nk", agg, w)
+    ref = jnp.einsum("nth,thk->nk", agg, w)
     got = typed_transform_aggregate(x, w, b.edge_src, b.edge_dst,
                                     b.edge_type, 6)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),

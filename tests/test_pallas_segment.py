@@ -47,7 +47,9 @@ def test_fused_kernel_matches_reference(rng):
     out = np.asarray(ps.fused_typed_transform_aggregate(
         jnp.asarray(x), jnp.asarray(src), jnp.asarray(keys),
         jnp.asarray(w), T, N))
-    np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-4)
+    # the fused path reduces messages in bf16 (f32 accumulate) — the
+    # default TPU matmul precision; tolerance is bf16-level by design
+    np.testing.assert_allclose(out, ref, rtol=1e-2, atol=2e-2)
 
 
 def test_fused_kernel_vjp(rng):
@@ -76,3 +78,51 @@ def test_fused_kernel_vjp(rng):
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(gw), np.asarray(gw2), rtol=1e-3,
                                atol=1e-4)
+
+
+# ------------------------- full SHMP core through the fused kernel path
+def _packed_case(rng):
+    import dataclasses
+
+    from desco_tpu.batch.packed import auto_capacities, pack_samples
+    from desco_tpu.models.shmp_gnn import (
+        init_shmp, neighborhood_target_config,
+    )
+    from test_models import make_neigh_samples
+
+    samples = make_neigh_samples(rng, n_graphs=5)
+    n_cap, e_cap, g_cap = auto_capacities(samples, g_cap=len(samples))
+    [b] = pack_samples(samples, n_cap, e_cap, g_cap, n_queries=3)
+    cfg = neighborhood_target_config(layer_num=2, hidden_dim=8,
+                                     output_dim=8)
+    cfg_p = dataclasses.replace(cfg, agg_mode="pallas")
+    params = init_shmp(jax.random.PRNGKey(0), cfg)
+    return b, cfg, cfg_p, params
+
+
+def test_shmp_core_pallas_matches_xla(rng):
+    from desco_tpu.models.shmp_gnn import apply_shmp_core
+
+    b, cfg, cfg_p, params = _packed_case(rng)
+    ref = np.asarray(apply_shmp_core(params, cfg, b))
+    out = np.asarray(apply_shmp_core(params, cfg_p, b))
+    np.testing.assert_allclose(out, ref, rtol=2e-2, atol=1e-2)
+
+
+def test_shmp_core_pallas_grads_match(rng):
+    from desco_tpu.models.shmp_gnn import apply_shmp_core
+
+    b, cfg, cfg_p, params = _packed_case(rng)
+
+    def loss(p, c):
+        return (apply_shmp_core(p, c, b) ** 2).sum()
+
+    g_ref = jax.grad(lambda p: loss(p, cfg))(params)
+    g_out = jax.grad(lambda p: loss(p, cfg_p))(params)
+    jax.tree_util.tree_map(
+        # loose: grads compare a bf16-reduced forward against the f32
+        # XLA forward; structural bugs (wrong edge/type routing) give
+        # order-1 errors, precision noise stays under a few percent
+        lambda a, r: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(r), rtol=8e-2, atol=3e-2),
+        g_out, g_ref)
