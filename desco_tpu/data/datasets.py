@@ -142,12 +142,13 @@ def load_data(
         graphs = load_or_generate_synthetic(
             n, os.path.join(root_folder, name), min_size=10, max_size=500)
     elif name.startswith("syn_"):
-        # legacy lowercase synthetic names: on-the-fly mixed-generator
-        # sampling with sizes 5-41 (reference data.py:175-187 +
-        # combined_syn.py; deprecated there, kept for parity)
+        # legacy lowercase synthetic names: the deepsnap-ensemble mix
+        # (ER-beta/WS/extended-BA/powerlaw-cluster, uniform 1/4 each)
+        # with sizes 6-41 (reference data.py:175-187 + combined_syn.py)
         n = int(name.split("_")[1])
         graphs = load_or_generate_synthetic(
-            n, os.path.join(root_folder, name), min_size=5, max_size=41)
+            n, os.path.join(root_folder, name), min_size=5, max_size=41,
+            recipe="combined")
     elif name in TU_NAMES:
         graphs = load_tu_dataset(root_folder, TU_NAMES[name], with_labels)
     elif name in ("P2P", "Astro"):

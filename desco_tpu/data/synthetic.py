@@ -260,18 +260,106 @@ def generate_synthetic(
     return graphs
 
 
+def generate_combined_syn(
+    num_graphs: int, min_size: int = 5, max_size: int = 41, seed: int = 0,
+) -> List[Graph]:
+    """Legacy ``syn_N`` datasets: the deepsnap-EnsembleGenerator mix
+    (reference combined_syn.py:10-142 + data.py:444-467).
+
+    Semantics reproduced exactly:
+      * sizes drawn uniformly from ``range(min_size + 1, max_size + 1)``
+        (data.py:466);
+      * one of four generators chosen uniformly (gen_prob 1/4 each):
+        - ER: p ~ Beta(1.3, b) with mean 0.8*log2(n)/n; resample until
+          connected (combined_syn.py:10-33, m_scale=0.8)
+        - WS: k = max(2, int(Beta(1.3, b)*n)) with density mean
+          log2(n)/n, rewire p ~ Beta(2, 2); connected variant
+          (combined_syn.py:36-76)
+        - extended BA: m ~ 1 + choice(int(2*log2(n))),
+          p, q = min(Exp(mean=20), 0.2); largest connected component
+          (combined_syn.py:79-101)
+        - powerlaw cluster: m ~ 1 + choice(int(2*log2(n))),
+          triangle p ~ U(0, 0.5); largest CC (combined_syn.py:104-123)
+    Unlike the ``Syn_N`` recipe there is NO forced connection by
+    tree-join — BA/PLC graphs shrink to their largest component.
+    """
+    rng = np.random.default_rng(seed)
+    sizes = np.arange(min_size + 1, max_size + 1)
+
+    def gen_er_beta(n: int) -> nx.Graph:
+        alpha = 1.3
+        mean = 0.8 * np.log2(n) / n
+        beta = alpha / mean - alpha
+        while True:
+            p = rng.beta(alpha, beta)
+            g = nx.gnp_random_graph(n, p, seed=_seeded(rng))
+            if nx.is_connected(g):
+                return g
+
+    def gen_ws_beta(n: int) -> nx.Graph:
+        d_alpha = 1.3
+        d_mean = np.log2(n) / n
+        d_beta = d_alpha / d_mean - d_alpha
+        while True:
+            k = max(int(rng.beta(d_alpha, d_beta) * n), 2)
+            p = rng.beta(2, 2)
+            try:
+                return nx.connected_watts_strogatz_graph(
+                    n, k, p, seed=_seeded(rng))
+            except nx.NetworkXException:
+                continue
+
+    def largest_cc(g: nx.Graph) -> nx.Graph:
+        c = max(nx.connected_components(g), key=len)
+        return nx.convert_node_labels_to_integers(g.subgraph(c).copy())
+
+    def gen_ba_ext(n: int) -> nx.Graph:
+        max_m = max(int(2 * np.log2(n)), 1)
+        m = int(rng.integers(max_m)) + 1
+        p = min(rng.exponential(20), 0.2)
+        q = min(rng.exponential(20), 0.2)
+        if p + q >= 1:  # defensive; cannot happen with 0.2 caps
+            p = q = 0.2
+        return largest_cc(_extended_ba(n, min(m, n - 1), p, q, rng))
+
+    def gen_plc(n: int) -> nx.Graph:
+        max_m = max(int(2 * np.log2(n)), 1)
+        m = int(rng.integers(max_m)) + 1
+        p = rng.uniform(0.0, 0.5)
+        return largest_cc(
+            nx.powerlaw_cluster_graph(n, min(m, n - 1), p,
+                                      seed=_seeded(rng)))
+
+    gens = (gen_er_beta, gen_ws_beta, gen_ba_ext, gen_plc)
+    graphs: List[Graph] = []
+    for _ in range(num_graphs):
+        n = int(rng.choice(sizes))
+        g = gens[int(rng.integers(len(gens)))](n)
+        perm = rng.permutation(g.number_of_nodes())
+        edges = np.array(
+            [(perm[u], perm[v]) for u, v in g.edges() if u != v],
+            dtype=np.int32).reshape(-1, 2)
+        graphs.append(Graph(g.number_of_nodes(), edges))
+    return graphs
+
+
 def load_or_generate_synthetic(
     num_graphs: int, root: str, min_size: int = 10, max_size: int = 500,
-    seed: int = 0,
+    seed: int = 0, recipe: str = "Syn",
 ) -> List[Graph]:
     """Disk-cached synthetic dataset (edge-list + indicator text files,
-    mirroring the reference's raw format, data.py:665-750)."""
+    mirroring the reference's raw format, data.py:665-750). ``recipe``
+    selects 'Syn' (DeSCo stratified/uniform) or 'combined' (the legacy
+    deepsnap-ensemble mix of combined_syn.py)."""
     raw = os.path.join(root, "raw")
     a_path = os.path.join(raw, "Syn_A.txt")
     ind_path = os.path.join(raw, "Syn_graph_indicator.txt")
     if os.path.exists(a_path) and os.path.exists(ind_path):
         return read_edge_list_dataset(a_path, ind_path)
-    graphs = generate_synthetic(num_graphs, min_size, max_size, seed)
+    if recipe == "combined":
+        graphs = generate_combined_syn(num_graphs, min_size, max_size, seed)
+    else:
+        graphs = generate_synthetic(num_graphs, min_size, max_size, seed)
     os.makedirs(raw, exist_ok=True)
     with open(a_path, "w") as fa, open(ind_path, "w") as fi:
         off = 1

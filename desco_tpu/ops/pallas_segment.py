@@ -100,6 +100,9 @@ def _segsum_kernel(offs_ref, seg_hbm, msgs_hbm, out_ref,
         for d in get_dma(0, c0):
             d.start()
 
+    rows128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    rows_full = jax.lax.broadcasted_iota(jnp.int32, (seg_tile, 128), 0)
+
     def chunk_body(c, _):
         slot = (c - c0) % 2
 
@@ -111,16 +114,44 @@ def _segsum_kernel(offs_ref, seg_hbm, msgs_hbm, out_ref,
         for d in get_dma(slot, c):
             d.wait()
 
-        # one MXU one-hot matmul per 128-key sub-row:
-        # [seg_tile, 128] x [128, LANES]
-        rows = jax.lax.broadcasted_iota(jnp.int32, (seg_tile, 128), 0)
+        # Per 128-key sub-row: the keys are sorted, so the sub-row's
+        # edges land in (almost always) <= 2 adjacent 128-row slices of
+        # the accumulator — build [128,128] one-hots against those two
+        # slices only (VPU cost ~seg_tile/8 lower than a full-tile
+        # one-hot). Rare spans > 2 slices (boundary chunks, pad tails)
+        # take a full-tile matmul fallback.
         for j in range(ks):
             row_of_e = sbuf[slot, j, :] - base              # [128]
-            p = (rows == row_of_e[None, :]).astype(jnp.bfloat16)
-            acc_ref[:] += jax.lax.dot_general(
-                p, mbuf[slot, j * 128:(j + 1) * 128, :],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            t_vec = jnp.clip(row_of_e, 0, seg_tile - 1) // 128
+            t_a = jnp.min(t_vec)
+            t_b = jnp.max(t_vec)
+
+            @pl.when(t_b <= t_a + 1)
+            def _():
+                off = t_a * 128
+                rel = row_of_e - off
+                m = mbuf[slot, j * 128:(j + 1) * 128, :]
+                p0 = (rows128 == rel[None, :]).astype(jnp.bfloat16)
+                acc_ref[pl.ds(off, 128)] += jax.lax.dot_general(
+                    p0, m, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                off2 = jnp.minimum(off + 128, seg_tile - 128)
+                rel2 = row_of_e - off2
+                p1 = (rows128 == rel2[None, :]).astype(jnp.bfloat16)
+                # off2 == off when t_a is the last slice: rel2 == rel
+                # would double-count, so mask the second matmul there
+                p1 = jnp.where(off2 > off, p1, jnp.bfloat16(0.0))
+                acc_ref[pl.ds(off2, 128)] += jax.lax.dot_general(
+                    p1, m, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+
+            @pl.when(t_b > t_a + 1)
+            def _():
+                p = (rows_full == row_of_e[None, :]).astype(jnp.bfloat16)
+                acc_ref[:] += jax.lax.dot_general(
+                    p, mbuf[slot, j * 128:(j + 1) * 128, :],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
         return 0
 
     jax.lax.fori_loop(c0, c1, chunk_body, 0)
