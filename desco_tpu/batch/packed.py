@@ -52,6 +52,12 @@ class PackedGraphs:
     graph_mask: np.ndarray  # [G] f32 (1.0 valid)
     y: Optional[np.ndarray] = None       # [G, Q] graph-level labels
     node_y: Optional[np.ndarray] = None  # [N, Q] node-level labels (gossip)
+    # [E] i32 permutation of the (dst,type)-sorted edge slots into
+    # (src,type)-ascending order (pad edges last). The fused Pallas
+    # backward re-keys the edge stream by source through this permutation
+    # (ops/pallas_segment.py _bwd_perm); None falls back to the slower
+    # scatter backward.
+    edge_bwd_perm: Optional[np.ndarray] = None
 
     @property
     def n_cap(self) -> int:
@@ -146,6 +152,7 @@ def pack_samples(
     ED = alloc((B, e_cap), np.int32, pad_node)
     ET = alloc((B, e_cap), np.int32, PAD_EDGE_TYPE)
     GM = alloc((B, g_cap), np.float32, 0)
+    BWP = alloc((B, e_cap), np.int32, 0)
     Y = alloc((B, g_cap, n_queries), np.float32, 0) if has_y else None
     NY = alloc((B, n_cap, n_queries), np.float32, 0) if has_ny else None
 
@@ -186,6 +193,9 @@ def pack_samples(
             ES[bi, :m] = es[order]
             ED[bi, :m] = ed[order]
             ET[bi, :m] = et[order]
+        # backward companion: slot permutation sorting edges by
+        # (src, type); pad slots (src = pad node, the max id) sort last
+        BWP[bi] = np.lexsort((ET[bi], ES[bi])).astype(np.int32)
 
     return [
         PackedGraphs(
@@ -194,6 +204,7 @@ def pack_samples(
             graph_mask=GM[bi],
             y=Y[bi] if has_y else None,
             node_y=NY[bi] if has_ny else None,
+            edge_bwd_perm=BWP[bi],
         )
         for bi in range(B)
     ]

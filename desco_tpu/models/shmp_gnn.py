@@ -134,7 +134,8 @@ def packed_aggregator(cfg: SHMPConfig, batch: PackedGraphs):
         def agg_fn(x, conv_w):
             return fused_typed_transform_aggregate(
                 x, batch.edge_src, keys, conv_w,
-                cfg.n_edge_types, batch.n_cap)
+                cfg.n_edge_types, batch.n_cap,
+                bwd_perm=batch.edge_bwd_perm)
     else:
         def agg_fn(x, conv_w):
             agg = typed_edge_aggregate(

@@ -222,9 +222,9 @@ def pallas_sorted_segment_sum(
 
 
 # ------------------------------------------------------- public op (VJP)
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def fused_typed_transform_aggregate(x, edge_src, keys, conv_w,
-                                    n_types: int, n_nodes: int):
+                                    n_types: int, n_nodes: int,
+                                    bwd_perm=None):
     """x_neigh [N, K]: W[type]-transformed sum of x[src] over
     (dst,type)-sorted edges (keys = dst*n_types + type; padding keys
     >= N*n_types decode to dst >= N and are dropped).
@@ -232,7 +232,21 @@ def fused_typed_transform_aggregate(x, edge_src, keys, conv_w,
     Transform-first: z[t] = x @ W_t on the MXU, one gather into edge
     order, Pallas sorted segment-sum over dst. Requires x[pad_node] == 0
     (packed-batch invariant) so padding edges gather zero rows.
+
+    ``bwd_perm`` ([E] i32, edges re-ordered by (src, type) — produced by
+    pack_samples) selects the fast backward: one Pallas segment-sum over
+    source-keyed segments yields u[n,t,:] = sum of cotangents over type-t
+    edges OUT of n, from which dx = u . W^T and dW_t = x^T u[:,t] are
+    plain MXU einsums — no unsorted scatter, no [E,H] masked matmuls.
     """
+    if bwd_perm is not None:
+        return _fused_perm(x, edge_src, keys, bwd_perm, conv_w,
+                           n_types, n_nodes)
+    return _fused_legacy(x, edge_src, keys, conv_w, n_types, n_nodes)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _fused_legacy(x, edge_src, keys, conv_w, n_types: int, n_nodes: int):
     n, h = x.shape
     k = conv_w.shape[2]
     z = jnp.einsum("nh,thk->tnk", x, conv_w).reshape(n_types * n, k)
@@ -248,8 +262,7 @@ def fused_typed_transform_aggregate(x, edge_src, keys, conv_w,
 
 
 def _fwd(x, edge_src, keys, conv_w, n_types, n_nodes):
-    out = fused_typed_transform_aggregate(x, edge_src, keys, conv_w,
-                                          n_types, n_nodes)
+    out = _fused_legacy(x, edge_src, keys, conv_w, n_types, n_nodes)
     return out, (x, edge_src, keys, conv_w)
 
 
@@ -274,4 +287,51 @@ def _bwd(n_types, n_nodes, res, g):
     return dx, None, None, dw
 
 
-fused_typed_transform_aggregate.defvjp(_fwd, _bwd)
+_fused_legacy.defvjp(_fwd, _bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _fused_perm(x, edge_src, keys, bwd_perm, conv_w,
+                n_types: int, n_nodes: int):
+    return _fused_legacy(x, edge_src, keys, conv_w, n_types, n_nodes)
+
+
+def _fwd_perm(x, edge_src, keys, bwd_perm, conv_w, n_types, n_nodes):
+    out = _fused_legacy(x, edge_src, keys, conv_w, n_types, n_nodes)
+    return out, (x, edge_src, keys, bwd_perm, conv_w)
+
+
+def _bwd_perm(n_types, n_nodes, res, g):
+    """dx and dW from ONE source-keyed Pallas segment-sum of the output
+    cotangent:
+
+      u[s, t, :] = sum over type-t edges (s -> d) of g[d, :]
+      dx         = einsum(u, W^T)     (x[s] reached d through W_t)
+      dW_t       = x^T @ u[:, t, :]
+
+    Edge stream passes: one [E,K] gather + one kernel — vs the legacy
+    backward's [E,H] masked matmuls per type plus an unsorted scatter.
+    Cotangents are reduced in bf16 (f32 accumulate) like every TPU
+    matmul at default precision.
+    """
+    x, edge_src, keys, perm, conv_w = res
+    t_, n = n_types, n_nodes
+    keys_p = jnp.take(keys, perm, axis=0)
+    src_p = jnp.take(edge_src, perm, axis=0)
+    dst_p = keys_p // t_
+    typ_p = keys_p - dst_p * t_
+    live = keys_p < n * t_
+    # dead (padding) edges: skey past the segment space -> dropped by the
+    # kernel natively (their gathered g row is also zeroed by fill_value)
+    skey = jnp.where(live, src_p * t_ + typ_p, np.int32(2 ** 30))
+    g_rows = jnp.take(g, jnp.where(live, dst_p, n), axis=0,
+                      fill_value=0.0)
+    k = g.shape[1]
+    u = pallas_sorted_segment_sum(g_rows, skey, n * t_)[:, :k]
+    u = u.reshape(n, t_, k)
+    dx = jnp.einsum("ntk,thk->nh", u, conv_w)
+    dw = jnp.einsum("nh,ntk->thk", x, u)
+    return dx, None, None, None, dw
+
+
+_fused_perm.defvjp(_fwd_perm, _bwd_perm)
