@@ -67,6 +67,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="resume training from the .last snapshot")
     o.add_argument("--n_devices", type=int, default=0,
                    help="data-parallel devices (0 = all available)")
+    o.add_argument("--clamp_counts", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="clamp de-logged stage-1 counts to the exact "
+                        "combinatorial neighborhood bound (truth/bounds.py)")
     return p
 
 
@@ -97,4 +101,5 @@ def to_pipeline_config(args: argparse.Namespace) -> PipelineConfig:
         data_root=args.data_root,
         output_dir=args.output_dir,
         num_workers=args.num_cpu,
+        clamp_counts=args.clamp_counts,
     )

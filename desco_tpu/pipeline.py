@@ -65,6 +65,10 @@ class PipelineConfig:
     # typed-aggregation kernel for the neighborhood target tower:
     # 'auto' -> fused Pallas kernel on TPU, XLA path on CPU
     agg_mode: str = "auto"
+    # clamp de-logged stage-1 counts to the exact combinatorial
+    # neighborhood bound (truth/bounds.py) — kills the rare 2^pred
+    # de-log outliers without touching training semantics
+    clamp_counts: bool = True
     # misc
     seed: int = 0
     data_root: str = "data"
@@ -148,10 +152,21 @@ def train_neighborhood_stage(
 
 
 def neighborhood_predictions(params, tgt_cfg, qry_cfg, query_batch,
-                             stage: StageData) -> np.ndarray:
-    """(#neighborhoods, Q) de-logged stage-1 counts."""
-    return train_loop.predict_neighborhood_counts(
+                             stage: StageData,
+                             cfg: Optional[PipelineConfig] = None,
+                             ) -> np.ndarray:
+    """(#neighborhoods, Q) de-logged stage-1 counts; clamped to the
+    combinatorial neighborhood bound when cfg.clamp_counts."""
+    counts = train_loop.predict_neighborhood_counts(
         params, tgt_cfg, qry_cfg, query_batch, stage.batches)
+    if cfg is not None and cfg.clamp_counts:
+        from .truth.bounds import clamp_counts, neighborhood_count_bounds
+
+        ubs = neighborhood_count_bounds(
+            stage.batches, gen_queries(cfg.query_ids),
+            canonical_type=tgt_cfg.canonical_type)
+        counts = clamp_counts(counts, ubs)
+    return counts
 
 
 def prepare_gossip_batches(

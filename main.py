@@ -92,12 +92,12 @@ def main(argv=None) -> int:
 
     # stage-1 predictions
     counts = {"test": neighborhood_predictions(
-        neigh_params, tgt_cfg, qry_cfg, qb, test_stage)}
+        neigh_params, tgt_cfg, qry_cfg, qb, test_stage, cfg)}
     if train_needed:
         counts["train"] = neighborhood_predictions(
-            neigh_params, tgt_cfg, qry_cfg, qb, train_stage)
+            neigh_params, tgt_cfg, qry_cfg, qb, train_stage, cfg)
         counts["val"] = neighborhood_predictions(
-            neigh_params, tgt_cfg, qry_cfg, qb, val_stage)
+            neigh_params, tgt_cfg, qry_cfg, qb, val_stage, cfg)
 
     # ---------------------------------------------------- gossip stage
     skip_gossip = not (args.train_gossip or args.test_gossip)
