@@ -17,6 +17,11 @@ def build_parser() -> argparse.ArgumentParser:
     n.add_argument("--neigh_conv_type", type=str, default="SAGE")
     n.add_argument("--neigh_layer_num", type=int, default=8)
     n.add_argument("--neigh_input_dim", type=int, default=1)
+    n.add_argument("--use_node_feature",
+                   action=argparse.BooleanOptionalAction, default=False,
+                   help="labeled mode: node labels as one-hot features, "
+                        "queries expanded per label assignment "
+                        "(neigh_input_dim = #labels)")
     n.add_argument("--neigh_hidden_dim", type=int, default=64)
     n.add_argument("--neigh_dropout", type=float, default=0.0)
     n.add_argument("--neigh_model_path", type=str,
@@ -102,4 +107,5 @@ def to_pipeline_config(args: argparse.Namespace) -> PipelineConfig:
         output_dir=args.output_dir,
         num_workers=args.num_cpu,
         clamp_counts=args.clamp_counts,
+        use_node_feature=args.use_node_feature,
     )

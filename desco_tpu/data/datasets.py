@@ -92,6 +92,129 @@ def load_snap_edgelist(root: str, name: str,
     return [Graph(len(ids), e.astype(np.int32))]
 
 
+def load_planetoid(root: str, name: str) -> List[Graph]:
+    """Planetoid citation graphs (Cora/CiteSeer) from the standard
+    ``ind.<name>.{x,tx,allx,y,ty,ally,graph,test.index}`` raw files (the
+    format PyG's Planetoid downloads; reference data.py:148-155). Returns
+    ONE Graph with dense bag-of-words ``node_feat``; class labels are
+    appended as the LAST feature column (integer id) so downstream tasks
+    can recover them."""
+    import pickle
+
+    import scipy.sparse as sp
+
+    raw = os.path.join(root, name, "raw")
+    lower = name.lower()
+
+    def rd(suffix):
+        path = os.path.join(raw, f"ind.{lower}.{suffix}")
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"Planetoid raw file missing: {path}. No network egress; "
+                f"place the standard ind.{lower}.* files there.")
+        with open(path, "rb") as f:
+            return pickle.load(f, encoding="latin1")
+
+    allx, tx = rd("allx"), rd("tx")
+    ally, ty = np.asarray(rd("ally")), np.asarray(rd("ty"))
+    graph = rd("graph")
+    tindex_path = os.path.join(raw, f"ind.{lower}.test.index")
+    test_idx = np.loadtxt(tindex_path, dtype=np.int64).reshape(-1)
+    test_sorted = np.sort(test_idx)
+
+    n_all = allx.shape[0]
+    full_range = np.arange(test_sorted.min(), test_sorted.max() + 1)
+    if len(full_range) > len(test_idx):
+        # CiteSeer: isolated test nodes missing from test.index — extend
+        # tx/ty with zero rows at the gaps
+        tx_ext = sp.lil_matrix((len(full_range), tx.shape[1]),
+                               dtype=np.float32)
+        tx_ext[test_sorted - full_range.min()] = tx
+        ty_ext = np.zeros((len(full_range), ty.shape[1]), ty.dtype)
+        ty_ext[test_sorted - full_range.min()] = ty
+        tx, ty = tx_ext.tocsr(), ty_ext
+    feats = sp.vstack([allx, tx]).tolil()
+    labels = np.vstack([ally, ty])
+    # test rows arrive shuffled: permute them into test.index positions
+    feats[test_idx] = feats[test_sorted]
+    labels[test_idx] = labels[test_sorted]
+    n = n_all + tx.shape[0]
+    edges = []
+    for u, nbrs in graph.items():
+        for v in nbrs:
+            if u != v and 0 <= u < n and 0 <= v < n:
+                edges.append((min(u, v), max(u, v)))
+    e = (np.unique(np.array(edges, np.int64), axis=0)
+         if edges else np.zeros((0, 2), np.int64))
+    x = np.asarray(feats.todense(), dtype=np.float32)
+    y_col = labels.argmax(-1).astype(np.float32)[:, None]
+    return [Graph(n, e.astype(np.int32),
+                  np.concatenate([x, y_col], axis=1))]
+
+
+def load_zinc(root: str) -> List[Graph]:
+    """ZINC molecules from the standard benchmarking-gnns pickles
+    (``{train,val,test}.pickle`` under ``<root>/ZINC/raw`` — the raw
+    format PyG's ZINC dataset downloads; reference data.py:171). Node
+    features are one-hot atom types (28 classes)."""
+    raw = os.path.join(root, "ZINC", "raw")
+    import pickle
+
+    mols = []
+    found = False
+    for split in ("train", "val", "test"):
+        path = os.path.join(raw, f"{split}.pickle")
+        if os.path.exists(path):
+            found = True
+            with open(path, "rb") as f:
+                mols.extend(pickle.load(f))
+    if not found:
+        raise FileNotFoundError(
+            f"ZINC pickles not found under {raw}; no network egress — "
+            "place the standard train/val/test.pickle files there.")
+    n_atom_types = 28
+    eye = np.eye(n_atom_types, dtype=np.float32)
+    graphs = []
+    for m in mols:
+        atom = np.asarray(m["atom_type"]).reshape(-1).astype(np.int64)
+        bond = np.asarray(m["bond_type"])
+        u, v = np.nonzero(bond)
+        keep = u < v
+        e = np.stack([u[keep], v[keep]], axis=1).astype(np.int32)
+        graphs.append(Graph(len(atom), e, eye[np.clip(atom, 0,
+                                                      n_atom_types - 1)]))
+    return graphs
+
+
+def load_ogb_arxiv(root: str) -> List[Graph]:
+    """ogbn-arxiv from the standard OGB raw csv.gz files
+    (``edge.csv.gz``, ``node-feat.csv.gz``, ``node-label.csv.gz`` under
+    ``<root>/arXiv/raw``; reference data.py:167-169). One Graph; 128-dim
+    features with the subject label appended as the last column."""
+    import gzip
+
+    raw = os.path.join(root, "arXiv", "raw")
+    epath = os.path.join(raw, "edge.csv.gz")
+    if not os.path.exists(epath):
+        raise FileNotFoundError(
+            f"OGB raw files not found under {raw}; no network egress — "
+            "place edge.csv.gz / node-feat.csv.gz / node-label.csv.gz "
+            "there.")
+
+    def rd_csv(name):
+        with gzip.open(os.path.join(raw, name), "rt") as f:
+            return np.loadtxt(f, delimiter=",", ndmin=2)
+
+    edges = rd_csv("edge.csv.gz").astype(np.int64)
+    feat = rd_csv("node-feat.csv.gz").astype(np.float32)
+    label = rd_csv("node-label.csv.gz").astype(np.float32).reshape(-1, 1)
+    n = feat.shape[0]
+    e = edges[edges[:, 0] != edges[:, 1]]
+    e = np.unique(np.sort(e, axis=1), axis=0)
+    return [Graph(n, e.astype(np.int32),
+                  np.concatenate([feat, label], axis=1))]
+
+
 def _relabel_all(graphs: List[Graph], mode: str, seed: int = 0) -> List[Graph]:
     rng = np.random.default_rng(seed)
     out = []
@@ -153,11 +276,22 @@ def load_data(
         graphs = load_tu_dataset(root_folder, TU_NAMES[name], with_labels)
     elif name in ("P2P", "Astro"):
         graphs = load_snap_edgelist(root_folder, name)
-    elif name in ("Cora", "CiteSeer", "ZINC", "arXiv"):
-        # single-graph citation / molecule sets: accept a pre-exported
-        # local edge list (no egress; the reference downloads via PyG —
-        # export edges to <root>/<name>/raw/edges.txt to use here)
-        graphs = load_snap_edgelist(root_folder, name)
+    elif name in ("Cora", "CiteSeer"):
+        try:
+            graphs = load_planetoid(root_folder, name)
+        except FileNotFoundError:
+            # fallback: a pre-exported bare edge list (round-1 convention)
+            graphs = load_snap_edgelist(root_folder, name)
+    elif name == "ZINC":
+        try:
+            graphs = load_zinc(root_folder)
+        except FileNotFoundError:
+            graphs = load_snap_edgelist(root_folder, name)
+    elif name == "arXiv":
+        try:
+            graphs = load_ogb_arxiv(root_folder)
+        except FileNotFoundError:
+            graphs = load_snap_edgelist(root_folder, name)
     else:
         raise NotImplementedError(f"unknown dataset: {name}")
 

@@ -23,7 +23,7 @@ import numpy as np
 from .analysis import mae, norm_mse, round_relu
 from .batch.build import query_sample
 from .batch.packed import GraphSample, PackedGraphs, auto_capacities, pack_samples
-from .graph.atlas import gen_queries, gen_query_ids, groupby_size
+from .graph.atlas import gen_queries, gen_query_ids
 from .graph.container import Graph
 from .data.workload import NeighborhoodIndex, Workload
 from .models import gossip as gossip_mod
@@ -69,6 +69,11 @@ class PipelineConfig:
     # neighborhood bound (truth/bounds.py) — kills the rare 2^pred
     # de-log outliers without touching training semantics
     clamp_counts: bool = True
+    # labeled (node-feature) mode: queries expand to all one-hot label
+    # assignments (neigh_input_dim = #labels) and ground truth uses
+    # label-preserving matching (reference use_node_feature,
+    # config.py:227, main.py:51-61, 95-126)
+    use_node_feature: bool = False
     # misc
     seed: int = 0
     data_root: str = "data"
@@ -78,6 +83,28 @@ class PipelineConfig:
     @property
     def query_ids(self) -> List[int]:
         return gen_query_ids(list(self.query_sizes))
+
+
+def pipeline_queries(cfg: PipelineConfig) -> List[Graph]:
+    """The effective query set: atlas queries, expanded per one-hot
+    label assignment in labeled mode (reference main.py:51-61)."""
+    base = gen_queries(cfg.query_ids)
+    if not cfg.use_node_feature:
+        return base
+    from .graph.atlas import expand_query_labels
+
+    return [v for q in base
+            for v in expand_query_labels(q, cfg.neigh_input_dim)]
+
+
+def pipeline_query_groups(cfg: PipelineConfig) -> List[List[int]]:
+    """Query indices grouped by query size, ascending (the per-size
+    normed-MSE grouping, reference main.py:463-469) — over the expanded
+    set in labeled mode."""
+    queries = pipeline_queries(cfg)
+    sizes = sorted({q.n_nodes for q in queries})
+    return [[i for i, q in enumerate(queries) if q.n_nodes == s]
+            for s in sizes]
 
 
 def model_configs(cfg: PipelineConfig):
@@ -98,7 +125,7 @@ def model_configs(cfg: PipelineConfig):
 
 
 def build_query_batch(cfg: PipelineConfig) -> PackedGraphs:
-    queries = gen_queries(cfg.query_ids)
+    queries = pipeline_queries(cfg)
     qs = [query_sample(q, use_tconv=cfg.use_tconv,
                        f_dim=cfg.neigh_input_dim) for q in queries]
     batches = pack_samples(qs, *auto_capacities(qs, g_cap=len(qs)))
@@ -122,14 +149,21 @@ def prepare_stage_data(
     capacities=None,
 ) -> StageData:
     wl = Workload(graphs, root=os.path.join(cfg.data_root, name), name=name)
-    truth = wl.compute_groundtruth(cfg.query_ids,
-                                   num_workers=cfg.num_workers)
+    if cfg.use_node_feature:
+        queries = pipeline_queries(cfg)
+        truth = wl.compute_groundtruth_labeled(
+            queries, num_workers=cfg.num_workers)
+        n_q = len(queries)
+    else:
+        truth = wl.compute_groundtruth(cfg.query_ids,
+                                       num_workers=cfg.num_workers)
+        n_q = len(cfg.query_ids)
     samples, nindex = wl.neighborhood_samples(
         cfg.depth, cfg.query_ids, use_tconv=cfg.use_tconv,
-        use_hetero=cfg.use_hetero, truth=truth)
+        use_hetero=cfg.use_hetero, truth=truth,
+        use_node_feat=cfg.use_node_feature)
     caps = capacities or auto_capacities(samples, g_cap=cfg.neigh_batch_size)
-    batches = pack_samples(samples, *caps,
-                           n_queries=len(cfg.query_ids))
+    batches = pack_samples(samples, *caps, n_queries=n_q)
     return StageData(wl, samples, nindex, truth, batches)
 
 
@@ -163,7 +197,7 @@ def neighborhood_predictions(params, tgt_cfg, qry_cfg, query_batch,
         from .truth.bounds import clamp_counts, neighborhood_count_bounds
 
         ubs = neighborhood_count_bounds(
-            stage.batches, gen_queries(cfg.query_ids),
+            stage.batches, pipeline_queries(cfg),
             canonical_type=tgt_cfg.canonical_type)
         counts = clamp_counts(counts, ubs)
     return counts
@@ -176,7 +210,7 @@ def prepare_gossip_batches(
     samples = stage.workload.gossip_samples(neigh_counts, stage.nindex,
                                             stage.truth)
     caps = capacities or auto_capacities(samples, g_cap=cfg.gossip_batch_size)
-    return pack_samples(samples, *caps, n_queries=len(cfg.query_ids))
+    return pack_samples(samples, *caps, n_queries=stage.truth.shape[1])
 
 
 def train_gossip_stage(
@@ -208,7 +242,7 @@ def evaluate_graphlet_counts(
 ) -> Dict[str, List[float]]:
     """Graph-level normed MSE / MAE per query-size group
     (main.py:463-499)."""
-    groups = groupby_size(cfg.query_ids)
+    groups = pipeline_query_groups(cfg)
     truth_graphlet = stage.workload.aggregate_node_counts(stage.truth)
     out: Dict[str, List[float]] = {}
 

@@ -22,7 +22,6 @@ import numpy as np
 
 from desco_tpu.config import build_parser, to_pipeline_config
 from desco_tpu.data.datasets import load_data
-from desco_tpu.graph.atlas import groupby_size
 from desco_tpu.models import neighborhood as neigh_mod
 from desco_tpu.models.shmp_gnn import SHMPConfig
 from desco_tpu.pipeline import (
@@ -62,13 +61,16 @@ def main(argv=None) -> int:
     train_needed = args.train_neigh or args.train_gossip
     if train_needed:
         train_graphs = load_data(args.train_dataset + "_train",
-                                 cfg.data_root)
-        val_graphs = load_data(args.valid_dataset + "_val", cfg.data_root)
+                                 cfg.data_root,
+                                 with_labels=cfg.use_node_feature)
+        val_graphs = load_data(args.valid_dataset + "_val", cfg.data_root,
+                               with_labels=cfg.use_node_feature)
         train_stage = prepare_stage_data(
             cfg, train_graphs, args.train_dataset + "_train")
         val_stage = prepare_stage_data(
             cfg, val_graphs, args.valid_dataset + "_val")
-    test_graphs = load_data(args.test_dataset, cfg.data_root)
+    test_graphs = load_data(args.test_dataset, cfg.data_root,
+                            with_labels=cfg.use_node_feature)
     test_stage = prepare_stage_data(cfg, test_graphs, args.test_dataset)
 
     # ---------------------------------------------- neighborhood stage
