@@ -26,6 +26,9 @@ def main(argv=None) -> int:
     p.add_argument("--test_dataset", type=str, default="Syn_64")
     p.add_argument("--query_sizes", type=int, nargs="+", default=[3, 4, 5])
     p.add_argument("--conv_type", type=str, default="GIN")
+    p.add_argument("--mem_init", type=str, default="mean",
+                   choices=["mean", "sum", "max", "attn", "lstm"],
+                   help="DIAMNet memory init variant (DIAMNet.py:801-921)")
     p.add_argument("--layer_num", type=int, default=3)
     p.add_argument("--hidden_dim", type=int, default=64)
     p.add_argument("--epoch_num", type=int, default=100)
@@ -83,7 +86,8 @@ def main(argv=None) -> int:
                                      args.conv_type)
     dn_cfg = DIAMNetConfig(pattern_dim=args.hidden_dim,
                            graph_dim=args.hidden_dim,
-                           hidden_dim=args.hidden_dim)
+                           hidden_dim=args.hidden_dim,
+                           mem_init=args.mem_init)
     params = init_diamnet_pipeline(jax.random.PRNGKey(args.seed),
                                    tower_cfg, dn_cfg)
 

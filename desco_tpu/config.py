@@ -76,6 +76,11 @@ def build_parser() -> argparse.ArgumentParser:
                    default=True,
                    help="clamp de-logged stage-1 counts to the exact "
                         "combinatorial neighborhood bound (truth/bounds.py)")
+    o.add_argument("--verify_budget", type=float, default=1e-3,
+                   help="serving exact-fallback: fraction of "
+                        "neighborhoods (top predicted tail, per query) "
+                        "recounted exactly with the native VF2; 0 "
+                        "disables")
     return p
 
 
@@ -107,5 +112,6 @@ def to_pipeline_config(args: argparse.Namespace) -> PipelineConfig:
         output_dir=args.output_dir,
         num_workers=args.num_cpu,
         clamp_counts=args.clamp_counts,
+        verify_budget=args.verify_budget,
         use_node_feature=args.use_node_feature,
     )

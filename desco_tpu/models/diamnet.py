@@ -11,8 +11,12 @@ mechanical:
     strided mean-pool memory init is expressed as one dense [B, M, L]
     window-weight einsum parameterized by per-sample lengths — static
     shapes, MXU-friendly).
-  * mem_init 'mean' only (the paper's config); attn/lstm variants are
-    intentionally omitted.
+  * mem_init 'mean' (the paper's config) plus 'sum'/'max'/'attn'/'lstm'
+    (DIAMNet.py:801-921): the strided windows become static [B, M, L]
+    membership masks; attn runs one gated-MHA step per window with the
+    window as the key mask; lstm runs a masked lax.scan over the padded
+    sequence per window (the carry crosses windows, as in the torch
+    loop). The 'circular_*' variants are omitted (unused upstream).
 
 Semantics kept: gated pre-LN multi-head attention
 (out = g*q + (1-g)*attn, gate bias init 1 so fresh models pass the query
@@ -37,6 +41,7 @@ class DIAMNetConfig:
     num_heads: int = 4
     mem_len: int = 4
     recurrent_steps: int = 1
+    mem_init: str = "mean"  # mean | sum | max | attn | lstm
 
 
 def _attn_params(key, q_dim, k_dim, v_dim, h):
@@ -57,17 +62,32 @@ def _attn_params(key, q_dim, k_dim, v_dim, h):
 
 
 def init_diamnet(key, cfg: DIAMNetConfig):
-    ks = jax.random.split(key, 6)
+    ks = jax.random.split(key, 8)
     h = cfg.hidden_dim
     scale = 1.0 / jnp.sqrt(h)
     n = lambda k, shape: jax.random.normal(k, shape) * scale
-    return {
+    params = {
         "g_layer": (n(ks[0], (cfg.graph_dim, h)), jnp.zeros(h)),
         "p_attn": _attn_params(ks[1], h, cfg.pattern_dim, cfg.pattern_dim, h),
         "g_attn": _attn_params(ks[2], h, cfg.graph_dim, cfg.graph_dim, h),
         "pred1": (n(ks[3], (cfg.mem_len * h + 4, h)), jnp.zeros(h)),
         "pred2": (jnp.zeros((h + 4, 1)), jnp.zeros(1)),
     }
+    if cfg.mem_init == "attn":
+        # window self-attention for the memory init (init_mem 'attn',
+        # DIAMNet.py:877-897); queries live in hidden space, keys/values
+        # are raw graph features
+        params["mem_attn"] = _attn_params(
+            ks[6], h, cfg.graph_dim, cfg.graph_dim, h)
+    elif cfg.mem_init == "lstm":
+        # single-layer LSTM over window elements (init_mem 'lstm',
+        # DIAMNet.py:898-906)
+        params["mem_lstm"] = {
+            "wi": n(ks[6], (cfg.graph_dim, 4 * h)),
+            "wh": n(ks[7], (h, 4 * h)),
+            "b": jnp.zeros(4 * h),
+        }
+    return params
 
 
 def _layer_norm(x, scale, bias, eps=1e-5):
@@ -100,34 +120,129 @@ def gated_mha(p, q, k, v, k_mask, num_heads: int):
     return gate * q + (1.0 - gate) * out
 
 
+def _mem_windows(g_len, L: int, m: int):
+    """Strided-window geometry shared by all mem_init variants
+    (DIAMNet.py:857-859): per-sample stride/kernel and the static
+    [B, M, L] window-membership mask (len >= m regime)."""
+    lens = g_len.astype(jnp.int32)
+    stride = lens // m                      # [B]
+    kernel = lens - (m - 1) * stride        # [B]
+    w_idx = jnp.arange(m)[None, :, None]    # [1, M, 1]
+    l_idx = jnp.arange(L)[None, None, :]    # [1, 1, L]
+    lo = w_idx * stride[:, None, None]
+    hi = lo + kernel[:, None, None]
+    in_win = (l_idx >= lo) & (l_idx < hi)
+    return in_win, kernel, lens
+
+
+def _mem_short(g, lens, m: int):
+    """len < m fallback: slot w takes element w, zero past the length
+    (DIAMNet.py:821-844)."""
+    L = g.shape[1]
+    w_idx = jnp.arange(m)[None, :, None]
+    l_idx = jnp.arange(L)[None, None, :]
+    w_short = ((l_idx == w_idx) & (l_idx < lens[:, None, None])).astype(
+        g.dtype)
+    return jnp.einsum("bml,bld->bmd", w_short, g)
+
+
+def _mem_mask(lens, m: int, dtype):
+    return jnp.where(lens[:, None] < m,
+                     (jnp.arange(m)[None, :] < lens[:, None]),
+                     True).astype(dtype)
+
+
 def init_mem_mean(g, g_len, mem_len: int):
     """Strided mean-pool memory init (init_mem 'mean', DIAMNet.py:801-875)
     as a dense per-sample window-weight matrix.
 
     g: [B, L, D]; g_len: [B] actual lengths. Returns ([B, M, D], [B, M]).
     """
-    b, L, d = g.shape
     m = mem_len
-    lens = g_len.astype(jnp.int32)
-    stride = lens // m                      # [B]
-    kernel = lens - (m - 1) * stride        # [B]
-    w_idx = jnp.arange(m)[None, :, None]    # [1, M, 1]
-    l_idx = jnp.arange(L)[None, None, :]    # [1, 1, L]
-    # len >= m: window w covers [w*stride, w*stride + kernel)
-    lo = w_idx * stride[:, None, None]
-    hi = lo + kernel[:, None, None]
-    in_win = (l_idx >= lo) & (l_idx < hi)
-    w_long = in_win / jnp.maximum(kernel[:, None, None], 1)
-    # len < m: slot w takes element w (zero past the length)
-    w_short = ((l_idx == w_idx) & (l_idx < lens[:, None, None])).astype(
-        g.dtype)
+    in_win, kernel, lens = _mem_windows(g_len, g.shape[1], m)
+    w_long = (in_win / jnp.maximum(kernel[:, None, None], 1)).astype(g.dtype)
+    mem_long = jnp.einsum("bml,bld->bmd", w_long, g)
     use_short = (lens < m)[:, None, None]
-    W = jnp.where(use_short, w_short, w_long.astype(g.dtype))
-    mem = jnp.einsum("bml,bld->bmd", W, g)
-    mem_mask = jnp.where(lens[:, None] < m,
-                         (jnp.arange(m)[None, :] < lens[:, None]),
-                         True).astype(g.dtype)
-    return mem, mem_mask
+    mem = jnp.where(use_short, _mem_short(g, lens, m), mem_long)
+    return mem, _mem_mask(lens, m, g.dtype)
+
+
+def init_mem_sum(g, g_len, mem_len: int):
+    """init_mem 'sum' (DIAMNet.py:869-875): windowed sum."""
+    m = mem_len
+    in_win, _, lens = _mem_windows(g_len, g.shape[1], m)
+    mem_long = jnp.einsum("bml,bld->bmd", in_win.astype(g.dtype), g)
+    use_short = (lens < m)[:, None, None]
+    mem = jnp.where(use_short, _mem_short(g, lens, m), mem_long)
+    return mem, _mem_mask(lens, m, g.dtype)
+
+
+def init_mem_max(g, g_len, mem_len: int):
+    """init_mem 'max' (DIAMNet.py:865-868): windowed max-pool."""
+    m = mem_len
+    in_win, _, lens = _mem_windows(g_len, g.shape[1], m)
+    neg = jnp.asarray(-jnp.inf, g.dtype)
+    masked = jnp.where(in_win[..., None], g[:, None, :, :], neg)
+    mem_long = masked.max(axis=2)
+    mem_long = jnp.where(jnp.isfinite(mem_long), mem_long, 0.0)
+    use_short = (lens < m)[:, None, None]
+    mem = jnp.where(use_short, _mem_short(g, lens, m), mem_long)
+    return mem, _mem_mask(lens, m, g.dtype)
+
+
+def init_mem_attn(params, cfg, g, g_len):
+    """init_mem 'attn' (DIAMNet.py:877-897): one gated-MHA step per
+    strided window, the query carrying across windows (h starts at
+    1/sqrt(h)); each step's output is one memory slot. Output lives in
+    hidden space (no g_layer projection afterwards)."""
+    m = cfg.mem_len
+    h_dim = cfg.hidden_dim
+    in_win, _, lens = _mem_windows(g_len, g.shape[1], m)
+    h = jnp.full((g.shape[0], 1, h_dim), 1.0 / jnp.sqrt(h_dim), g.dtype)
+    slots = []
+    for w in range(m):
+        h = gated_mha(params["mem_attn"], h, g, g,
+                      in_win[:, w, :].astype(g.dtype), cfg.num_heads)
+        slots.append(h)
+    mem_long = jnp.concatenate(slots, axis=1)            # [B, M, H]
+    gw, gb = params["g_layer"]
+    use_short = (lens < m)[:, None, None]
+    mem = jnp.where(use_short, _mem_short(g, lens, m) @ gw + gb, mem_long)
+    return mem, _mem_mask(lens, m, g.dtype)
+
+
+def init_mem_lstm(params, cfg, g, g_len):
+    """init_mem 'lstm' (DIAMNet.py:898-906): an LSTM consumes each
+    window's elements; the hidden state after window w is memory slot w
+    and the carry crosses windows (torch loops `_, hx = lstm(m, hx)`)."""
+    m = cfg.mem_len
+    h_dim = cfg.hidden_dim
+    b = g.shape[0]
+    in_win, _, lens = _mem_windows(g_len, g.shape[1], m)
+    p = params["mem_lstm"]
+
+    def step(carry, inp):
+        h, c = carry
+        x_l, valid = inp                                  # [B, D], [B]
+        gates = x_l @ p["wi"] + h @ p["wh"] + p["b"]
+        i, f, gg, o = jnp.split(gates, 4, axis=-1)
+        c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(gg)
+        h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+        v = valid[:, None]
+        return (jnp.where(v, h_new, h), jnp.where(v, c_new, c)), None
+
+    carry = (jnp.zeros((b, h_dim), g.dtype), jnp.zeros((b, h_dim), g.dtype))
+    slots = []
+    xs_feat = jnp.swapaxes(g, 0, 1)                       # [L, B, D]
+    for w in range(m):
+        valid = jnp.swapaxes(in_win[:, w, :], 0, 1)       # [L, B]
+        carry, _ = jax.lax.scan(step, carry, (xs_feat, valid))
+        slots.append(carry[0][:, None, :])
+    mem_long = jnp.concatenate(slots, axis=1)             # [B, M, H]
+    gw, gb = params["g_layer"]
+    use_short = (lens < m)[:, None, None]
+    mem = jnp.where(use_short, _mem_short(g, lens, m) @ gw + gb, mem_long)
+    return mem, _mem_mask(lens, m, g.dtype)
 
 
 def apply_diamnet(params, cfg: DIAMNetConfig,
@@ -143,9 +258,16 @@ def apply_diamnet(params, cfg: DIAMNetConfig,
     g_mask = (jnp.arange(graph.shape[1])[None, :]
               < g_len[:, None]).astype(graph.dtype)
 
-    mem, mem_mask = init_mem_mean(graph, g_len, cfg.mem_len)
-    gw, gb = params["g_layer"]
-    mem = mem @ gw + gb
+    if cfg.mem_init == "attn":
+        mem, mem_mask = init_mem_attn(params, cfg, graph, g_len)
+    elif cfg.mem_init == "lstm":
+        mem, mem_mask = init_mem_lstm(params, cfg, graph, g_len)
+    else:
+        pool = {"mean": init_mem_mean, "sum": init_mem_sum,
+                "max": init_mem_max}[cfg.mem_init]
+        mem, mem_mask = pool(graph, g_len, cfg.mem_len)
+        gw, gb = params["g_layer"]
+        mem = mem @ gw + gb
 
     for _ in range(cfg.recurrent_steps):
         mem = gated_mha(params["p_attn"], mem, pattern, pattern, p_mask,

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from ..batch.packed import PackedGraphs
 from ..ops.segment import (
     graph_pool_sum,
+    segment_sum,
     typed_edge_aggregate,
     typed_transform_aggregate,
 )
@@ -48,7 +49,7 @@ class SHMPConfig:
     hidden_dim: int = 64
     output_dim: int = 64
     layer_num: int = 8
-    conv_type: str = "SAGE"  # SAGE | GIN | GCN
+    conv_type: str = "SAGE"  # SAGE | GIN | GCN | GAT
     dropout: float = 0.0
     use_anchor: bool = True        # anchor MLP on canonical nodes
     canonical_type: int = 1
@@ -91,6 +92,16 @@ def init_shmp(key, cfg: SHMPConfig):
             ks[2], h, h, cfg.layer_num, cfg.n_node_types)
         params["upd2"] = linear_params(
             ks[5], h, h, cfg.layer_num, cfg.n_node_types)
+    elif cfg.conv_type == "GAT":
+        # per-(layer, edge-type) attention vectors (GATConv heads=1,
+        # gnn_model.py:222-224; typed adaptation of a_src/a_dst)
+        k2 = jax.random.split(ks[2])
+        scale = 1.0 / jnp.sqrt(h)
+        params["att"] = (
+            jax.random.normal(k2[0], (cfg.layer_num, cfg.n_edge_types, h))
+            * scale,
+            jax.random.normal(k2[1], (cfg.layer_num, cfg.n_edge_types, h))
+            * scale)
     else:
         raise NotImplementedError(cfg.conv_type)
     if cfg.use_anchor:
@@ -145,6 +156,54 @@ def packed_aggregator(cfg: SHMPConfig, batch: PackedGraphs):
     return agg_fn
 
 
+def gat_aggregator(cfg: SHMPConfig, batch: PackedGraphs, att):
+    """Typed GAT attention aggregation (conv_type='GAT',
+    gnn_model.py:222-224: pyg GATConv heads=1 under the ablation driver).
+
+    Attention is softmax-normalized within each (dst, edge-type) segment
+    — the typed analog of per-edge-type GATConv under to_hetero — with a
+    self-loop term (PyG ``add_self_loops`` default), computed with
+    sorted segment max/sum: no dense [N, N] attention, MXU transforms.
+    Per-type outputs are summed (to_hetero aggr='sum')."""
+    a_src_all, a_dst_all = att  # [L, T, H] each
+    t_n = cfg.n_edge_types
+    seg = (batch.edge_dst.astype(jnp.int32) * t_n
+           + batch.edge_type.astype(jnp.int32))
+    e_t = jnp.clip(batch.edge_type.astype(jnp.int32), 0, t_n - 1)
+
+    def agg_fn(x, conv_w, layer):
+        n = x.shape[0]
+        a_src, a_dst = a_src_all[layer], a_dst_all[layer]
+        z = jnp.einsum("nh,thk->tnk", x, conv_w)          # [T, N, K]
+        s_src = jnp.einsum("tnk,tk->tn", z, a_src)        # [T, N]
+        s_dst = jnp.einsum("tnk,tk->tn", z, a_dst)
+        # per-edge logits; pad edges carry out-of-range seg keys, so
+        # their (clipped-type garbage) contributions are dropped by the
+        # segment scatters below
+        s_e = jax.nn.leaky_relu(
+            s_src[e_t, batch.edge_src] + s_dst[e_t, batch.edge_dst], 0.2)
+        m = jax.ops.segment_max(s_e, seg, num_segments=n * t_n,
+                                indices_are_sorted=True)
+        m = jnp.where(jnp.isfinite(m), m, 0.0)  # empty segments -> 0
+        p = jnp.exp(s_e - jnp.take(m, seg, fill_value=0.0))
+        z_src = z[e_t, batch.edge_src]                    # [E, K]
+        num = segment_sum(p[:, None] * z_src, seg, n * t_n,
+                          indices_are_sorted=True).reshape(n, t_n, -1)
+        den = segment_sum(p, seg, n * t_n,
+                          indices_are_sorted=True).reshape(n, t_n)
+        m2 = m.reshape(n, t_n)
+        # merge the self-loop candidate into each (node, type) softmax
+        s_self = jax.nn.leaky_relu(s_src + s_dst, 0.2).T  # [N, T]
+        big = jnp.maximum(m2, s_self)
+        w_edges = jnp.exp(m2 - big)                       # rescale factor
+        w_self = jnp.exp(s_self - big)
+        z_self = jnp.swapaxes(z, 0, 1)                    # [N, T, K]
+        out_t = ((num * w_edges[..., None] + w_self[..., None] * z_self)
+                 / (den * w_edges + w_self)[..., None])
+        return out_t.sum(axis=1)
+    return agg_fn
+
+
 def run_shmp_layers(
     params, cfg: SHMPConfig, x, ntype, nmask, aggregate_fn,
     train: bool = False, rng=None,
@@ -173,7 +232,9 @@ def run_shmp_layers(
             x = _per_type_linear(
                 upd_in, params["upd"][0][l], params["upd"][1][l],
                 ntype, cfg.n_node_types)
-        elif cfg.conv_type == "GCN":
+        elif cfg.conv_type in ("GCN", "GAT"):
+            # conv output used directly (GAT attention happens inside
+            # the aggregation provider)
             x = x_neigh
         else:  # GIN: update MLP on (x_neigh + (1 + eps) * x), eps = 0
             upd_in = x_neigh + x
@@ -204,10 +265,13 @@ def apply_shmp_core(
         ntype, cfg.n_node_types)
     x = x * nmask
 
-    agg = packed_aggregator(cfg, batch)
+    if cfg.conv_type == "GAT":
+        agg_fn = gat_aggregator(cfg, batch, params["att"])
+    else:
+        agg = packed_aggregator(cfg, batch)
+        agg_fn = lambda x_, w_, l_: agg(x_, w_)  # noqa: E731
     return run_shmp_layers(
-        params, cfg, x, ntype, nmask, lambda x_, w_, l_: agg(x_, w_),
-        train=train, rng=rng)
+        params, cfg, x, ntype, nmask, agg_fn, train=train, rng=rng)
 
 
 def apply_shmp(

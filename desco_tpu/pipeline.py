@@ -69,6 +69,14 @@ class PipelineConfig:
     # neighborhood bound (truth/bounds.py) — kills the rare 2^pred
     # de-log outliers without touching training semantics
     clamp_counts: bool = True
+    # serving fast-path/exact-fallback: per query, the ceil(budget*N)
+    # neighborhoods with the largest predicted counts are recounted
+    # EXACTLY with the native VF2 on their own neighborhood subgraphs.
+    # Squared-error metrics are dominated by precisely this tail (one
+    # OOD hub neighborhood de-logging to 2^31 swamps a 915-graph set);
+    # the recount uses only the input graph and costs ~budget*N subgraph
+    # counts. 0 disables.
+    verify_budget: float = 1e-3
     # labeled (node-feature) mode: queries expand to all one-hot label
     # assignments (neigh_input_dim = #labels) and ground truth uses
     # label-preserving matching (reference use_node_feature,
@@ -200,6 +208,68 @@ def neighborhood_predictions(params, tgt_cfg, qry_cfg, query_batch,
             stage.batches, pipeline_queries(cfg),
             canonical_type=tgt_cfg.canonical_type)
         counts = clamp_counts(counts, ubs)
+    if cfg is not None and cfg.verify_budget > 0:
+        counts = verify_tail_counts(counts, stage, cfg)
+    return counts
+
+
+def verify_tail_counts(counts: np.ndarray, stage: StageData,
+                       cfg: PipelineConfig) -> np.ndarray:
+    """Exact-recount the top predicted tail (fast-path/exact-fallback
+    serving): per query column, the ceil(verify_budget * N) largest
+    predictions are replaced by exact canonical counts from the native
+    VF2 run on the (<= depth-d) neighborhood subgraph itself.
+
+    This is the production answer to de-log outliers the combinatorial
+    clamp cannot reach (a hub neighborhood's tree-hom bound can sit
+    ~1000x above truth): bounded, deterministic cost — |union of
+    per-query top-k| subgraph counts, each a few ms — and exactness
+    where squared-error metrics are decided. Uses only the input graph
+    (never test labels)."""
+    queries = pipeline_queries(cfg)
+    n = counts.shape[0]
+    k = max(1, int(np.ceil(cfg.verify_budget * n)))
+    flagged = np.unique(np.argsort(-counts, axis=0)[:k].ravel())
+
+    from .graph.canonical import canonical_neighborhood
+    from .truth import native as truth_native
+    from .truth.vf2 import (
+        canonical_counts as py_canonical_counts,
+        count_induced_embeddings,
+        symmetric_factor,
+    )
+
+    labeled = cfg.use_node_feature
+    q_labels = ([q.node_feat.argmax(-1).astype(np.int32) for q in queries]
+                if labeled else None)
+    sf = [max(symmetric_factor(q, q_labels[qi] if labeled else None), 1)
+          for qi, q in enumerate(queries)]
+    counts = counts.copy()
+    index = np.asarray(stage.nindex.index)
+    for i in flagged:
+        gid, vid = int(index[i, 0]), int(index[i, 1])
+        nb = canonical_neighborhood(stage.workload.graphs[gid], vid,
+                                    cfg.depth)
+        if nb is None:
+            continue
+        if labeled:
+            t_lab = nb.graph.node_feat.argmax(-1).astype(np.int32)
+            row = np.empty(len(queries))
+            for qi, q in enumerate(queries):
+                per = np.zeros(nb.graph.n_nodes, np.int64)
+                if truth_native.native_available():
+                    truth_native.vf2_count_native(nb.graph, q, per, t_lab,
+                                                  q_labels[qi])
+                else:
+                    count_induced_embeddings(nb.graph, q, per, t_lab,
+                                             q_labels[qi])
+                row[qi] = per[nb.canonical] / sf[qi]
+        elif truth_native.native_available():
+            row = truth_native.canonical_counts_one(
+                nb.graph, queries, sf)[nb.canonical]
+        else:
+            row = py_canonical_counts(nb.graph, queries)[nb.canonical]
+        counts[i] = row
     return counts
 
 

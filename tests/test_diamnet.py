@@ -101,3 +101,87 @@ def test_diamnet_learns(rng):
     for _ in range(60):
         params, opt, loss = step(params, opt)
     assert float(loss) < l0 * 0.5
+
+
+def test_init_mem_sum_max_match_windows(rng):
+    """'sum'/'max' variants (DIAMNet.py:865-875) against per-window
+    numpy pooling."""
+    from desco_tpu.models.diamnet import init_mem_max, init_mem_sum
+
+    B, L, D, M = 3, 11, 4, 4
+    g = rng.standard_normal((B, L, D)).astype(np.float32)
+    lens = np.array([11, 6, 3])
+    for b, l in enumerate(lens):
+        g[b, l:] = 0.0
+    mem_s = np.asarray(init_mem_sum(jnp.asarray(g), jnp.asarray(lens), M)[0])
+    mem_m = np.asarray(init_mem_max(jnp.asarray(g), jnp.asarray(lens), M)[0])
+    for b, l in enumerate(lens):
+        if l < M:
+            for w in range(M):
+                ref = g[b, w] if w < l else np.zeros(D)
+                np.testing.assert_allclose(mem_s[b, w], ref, rtol=1e-5)
+                np.testing.assert_allclose(mem_m[b, w], ref, rtol=1e-5)
+            continue
+        stride = l // M
+        kernel = l - (M - 1) * stride
+        for w in range(M):
+            win = g[b, w * stride:w * stride + kernel]
+            np.testing.assert_allclose(mem_s[b, w], win.sum(0), rtol=1e-4,
+                                       atol=1e-5)
+            np.testing.assert_allclose(mem_m[b, w], win.max(0), rtol=1e-5)
+
+
+@pytest.mark.parametrize("mem_init", ["sum", "max", "attn", "lstm"])
+def test_diamnet_mem_init_variants_forward(rng, mem_init):
+    """Every mem_init variant runs end-to-end with finite output and
+    nonzero gradients (flags-accepted bar for DIAMNet.py:801-921)."""
+    cfg = DIAMNetConfig(pattern_dim=8, graph_dim=8, hidden_dim=8,
+                        num_heads=2, mem_init=mem_init)
+    params = init_diamnet(jax.random.PRNGKey(1), cfg)
+    B, Lp, Lg = 3, 5, 9
+    pattern = jnp.asarray(rng.standard_normal((B, Lp, 8)), jnp.float32)
+    graph = jnp.asarray(rng.standard_normal((B, Lg, 8)), jnp.float32)
+    p_len = jnp.asarray([5, 3, 4])
+    g_len = jnp.asarray([9, 7, 2])  # includes the short (< mem_len) path
+
+    def loss(p):
+        # linear loss: the final pred layer inits to zeros, so a squared
+        # loss would have exactly-zero gradients at init
+        return apply_diamnet(p, cfg, pattern, p_len, graph, g_len).sum()
+
+    val, grads = jax.value_and_grad(loss)(params)
+    assert np.isfinite(float(val))
+    gsum = jax.tree_util.tree_reduce(
+        lambda a, le: a + float(jnp.abs(le).sum()), grads, 0.0)
+    assert np.isfinite(gsum) and gsum > 0.0
+
+
+def test_init_mem_lstm_carry_crosses_windows(rng):
+    """The LSTM carry persists across windows (torch: `_, hx =
+    lstm(m, hx)` in a loop, DIAMNet.py:898-906): a numpy LSTM over the
+    concatenated window elements must reproduce the slots."""
+    from desco_tpu.models.diamnet import init_mem_lstm
+
+    cfg = DIAMNetConfig(pattern_dim=4, graph_dim=4, hidden_dim=4,
+                        num_heads=2, mem_init="lstm")
+    params = init_diamnet(jax.random.PRNGKey(2), cfg)
+    B, L, M = 1, 9, 4
+    g = rng.standard_normal((B, L, 4)).astype(np.float32)
+    lens = np.array([9])
+    mem = np.asarray(init_mem_lstm(params, cfg, jnp.asarray(g),
+                                   jnp.asarray(lens))[0])
+
+    wi = np.asarray(params["mem_lstm"]["wi"])
+    wh = np.asarray(params["mem_lstm"]["wh"])
+    bb = np.asarray(params["mem_lstm"]["b"])
+    sig = lambda z: 1.0 / (1.0 + np.exp(-z))
+    h = np.zeros(4)
+    c = np.zeros(4)
+    stride, kernel = lens[0] // M, lens[0] - (M - 1) * (lens[0] // M)
+    for w in range(M):
+        for l in range(w * stride, w * stride + kernel):
+            gates = g[0, l] @ wi + h @ wh + bb
+            i, f, gg, o = np.split(gates, 4)
+            c = sig(f) * c + sig(i) * np.tanh(gg)
+            h = sig(o) * np.tanh(c)
+        np.testing.assert_allclose(mem[0, w], h, rtol=1e-4, atol=1e-5)

@@ -20,10 +20,11 @@ from desco_tpu.models.shmp_gnn import (
 from desco_tpu.ops.segment import typed_edge_aggregate
 from desco_tpu.parallel.dp import make_mesh
 from desco_tpu.parallel.halo import (
-    halo_exchange,
     halo_shmp_core,
     halo_typed_aggregate,
+    partition_node_values,
     partition_typed_graph,
+    unpartition_nodes,
 )
 
 from conftest import random_graph
@@ -44,7 +45,8 @@ def test_partition_and_aggregate_match(rng):
     n = s.n_nodes
     x = rng.standard_normal((n, 8)).astype(np.float32)
     part = partition_typed_graph(
-        n, s.node_type, x, s.edge_src, s.edge_dst, s.edge_type, N_DEV)
+        n, s.node_type, x, s.edge_src, s.edge_dst, s.edge_type, N_DEV,
+        n_types=6)
 
     # single-device reference
     ref = np.asarray(typed_edge_aggregate(
@@ -57,20 +59,13 @@ def test_partition_and_aggregate_match(rng):
              out_specs=P("graph"))
     def run(shard):
         shard = jax.tree_util.tree_map(lambda a: a[0], shard)
-        halo = halo_exchange(shard.x, shard.send_idx, shard.send_mask)
-        agg = halo_typed_aggregate(
-            shard.x, halo, shard.edge_src_ext, shard.edge_dst,
-            shard.edge_type, 6)
+        agg = halo_typed_aggregate(shard.x, shard)
         return agg[None]  # [1, n_loc, 6, 8] per device
 
     with mesh:
         out = jax.jit(run)(part)  # [D, n_loc, 6, 8]
-    out = np.asarray(out)
-    n_loc = part.n_loc
-    for dev in range(N_DEV):
-        lo, hi = dev * n_loc, min((dev + 1) * n_loc, n)
-        np.testing.assert_allclose(
-            out[dev][:hi - lo], ref[lo:hi], rtol=1e-5, atol=1e-6)
+    got = unpartition_nodes(part, np.asarray(out))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
 
 
 def test_halo_shmp_core_matches_single_device(rng):
@@ -84,7 +79,8 @@ def test_halo_shmp_core_matches_single_device(rng):
     ref = np.asarray(apply_shmp_core(params, cfg, b))[:n]
 
     part = partition_typed_graph(
-        n, s.node_type, s.x, s.edge_src, s.edge_dst, s.edge_type, N_DEV)
+        n, s.node_type, s.x, s.edge_src, s.edge_dst, s.edge_type, N_DEV,
+        n_types=cfg.n_edge_types)
     mesh = jax.sharding.Mesh(make_mesh(N_DEV).devices, ("graph",))
 
     @partial(jax.shard_map, mesh=mesh, in_specs=(P(), P("graph")),
@@ -95,8 +91,7 @@ def test_halo_shmp_core_matches_single_device(rng):
 
     with mesh:
         out = np.asarray(jax.jit(run)(params, part))  # [D, n_loc, P]
-    n_loc = part.n_loc
-    got = out.reshape(N_DEV * n_loc, -1)[:n]
+    got = unpartition_nodes(part, out)
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
 
 
@@ -119,13 +114,10 @@ def test_halo_gossip_matches_single_device(rng):
         params, b, jnp.asarray(b.x[:, 0]), q_emb))[:n]
 
     part = partition_typed_graph(
-        n, s.node_type, s.x, s.edge_src, s.edge_dst, s.edge_type, N_DEV)
-    n_loc = part.n_loc
+        n, s.node_type, s.x, s.edge_src, s.edge_dst, s.edge_type, N_DEV,
+        n_types=2)
     # shard the count column like the nodes
-    xcol = np.zeros((N_DEV, n_loc), np.float32)
-    for d in range(N_DEV):
-        lo, hi = d * n_loc, min((d + 1) * n_loc, n)
-        xcol[d, :hi - lo] = x_counts[lo:hi, 0]
+    xcol = partition_node_values(part, x_counts)[:, :, 0]
 
     mesh = jax.sharding.Mesh(make_mesh(N_DEV).devices, ("graph",))
 
@@ -138,7 +130,7 @@ def test_halo_gossip_matches_single_device(rng):
 
     with mesh:
         out = np.asarray(jax.jit(run)(params, part, xcol, q_emb))
-    got = out.reshape(N_DEV * n_loc)[:n]
+    got = unpartition_nodes(part, out)
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
 
 
@@ -154,7 +146,8 @@ def test_halo_shmp_core_gin_gcn_match(rng, conv):
     ref = np.asarray(apply_shmp_core(params, cfg, b))[:n]
 
     part = partition_typed_graph(
-        n, s.node_type, s.x, s.edge_src, s.edge_dst, s.edge_type, N_DEV)
+        n, s.node_type, s.x, s.edge_src, s.edge_dst, s.edge_type, N_DEV,
+        n_types=cfg.n_edge_types)
     mesh = jax.sharding.Mesh(make_mesh(N_DEV).devices, ("graph",))
 
     @partial(jax.shard_map, mesh=mesh, in_specs=(P(), P("graph")),
@@ -165,7 +158,7 @@ def test_halo_shmp_core_gin_gcn_match(rng, conv):
 
     with mesh:
         out = np.asarray(jax.jit(run)(params, part))
-    got = out.reshape(N_DEV * part.n_loc, -1)[:n]
+    got = unpartition_nodes(part, out)
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
 
 
@@ -191,7 +184,7 @@ def test_halo_gossip_training_grads_match(rng):
 
     part = partition_typed_graph(
         n, s.node_type, counts, s.edge_src, s.edge_dst, s.edge_type,
-        N_DEV, node_y=truth)
+        N_DEV, node_y=truth, n_types=2)
     mesh = jax.sharding.Mesh(make_mesh(N_DEV).devices, ("graph",))
 
     @partial(jax.shard_map, mesh=mesh, in_specs=(P(), P("graph"), P()),
@@ -227,7 +220,7 @@ def test_halo_gossip_step_runs(rng):
     s = gossip_sample(g, counts, truth)
     part = partition_typed_graph(
         n, s.node_type, counts, s.edge_src, s.edge_dst, s.edge_type,
-        N_DEV, node_y=truth)
+        N_DEV, node_y=truth, n_types=2)
 
     params = init_gossip_model(jax.random.PRNGKey(0), hidden_dim=8,
                                emb_channels=8)
@@ -244,3 +237,83 @@ def test_halo_gossip_step_runs(rng):
         lambda acc, leaf: acc + float(jnp.abs(leaf).sum()),
         jax.tree_util.tree_map(jnp.subtract, new_params, params), 0.0)
     assert delta > 0.0
+
+
+def test_push_mode_hub_graph_matches(rng):
+    """A star-like hub graph forces PUSH pairs (unique (dst,type) cells
+    << unique sources): the hybrid plan must still reproduce the
+    single-device aggregation exactly, with p_max > 0 actually used."""
+    n = 64
+    hub = n - 1
+    src = np.concatenate([np.arange(n - 1), np.full(n - 2, hub)])
+    dst = np.concatenate([np.full(n - 1, hub), np.arange(1, n - 1)])
+    ety = np.concatenate([np.zeros(n - 1, np.int32),
+                          np.ones(n - 2, np.int32)])
+    ntype = np.zeros(n, np.int32)
+    x = rng.standard_normal((n, 8)).astype(np.float32)
+
+    part = partition_typed_graph(
+        n, ntype, x, src.astype(np.int32), dst.astype(np.int32), ety,
+        N_DEV, n_types=2)
+    assert part.p_max > 0, "hub graph should trigger push mode"
+
+    ref = np.asarray(typed_edge_aggregate(
+        jnp.asarray(x), jnp.asarray(src), jnp.asarray(dst),
+        jnp.asarray(ety), 2))
+
+    mesh = jax.sharding.Mesh(make_mesh(N_DEV).devices, ("graph",))
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=P("graph"),
+             out_specs=P("graph"))
+    def run(shard):
+        shard = jax.tree_util.tree_map(lambda a: a[0], shard)
+        return halo_typed_aggregate(shard.x, shard)[None]
+
+    with mesh:
+        out = jax.jit(run)(part)
+    got = unpartition_nodes(part, np.asarray(out))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_locality_order_recovers_communities(rng):
+    """metis-lite ordering on a permuted 4-community graph: the D=4 cut
+    must come back near the planted 2% inter-community fraction (plain
+    id order on the permuted graph cuts ~75%)."""
+    from desco_tpu.parallel.halo import locality_order
+
+    n, k = 2000, 4
+    per = n // k
+    edges = set()
+    r = np.random.default_rng(7)
+    while len(edges) < 8000:
+        c = r.integers(k)
+        u, v = c * per + r.integers(0, per, 2)
+        if u != v:
+            edges.add((min(u, v), max(u, v)))
+    while len(edges) < 8160:
+        u, v = r.integers(0, n, 2)
+        if u != v and u // per != v // per:
+            edges.add((min(u, v), max(u, v)))
+    e = np.array(sorted(edges), np.int64)
+    perm = r.permutation(n)
+    src, dst = perm[e[:, 0]], perm[e[:, 1]]
+
+    order = locality_order(n, src, dst, method="metis")
+    assert sorted(order) == list(range(n))
+    inv = np.empty(n, np.int64)
+    inv[order] = np.arange(n)
+    ps, pd = inv[src], inv[dst]
+    cut = ((ps // per) != (pd // per)).mean()
+    assert cut < 0.15, f"metis-lite cut {cut:.3f} (planted 0.02)"
+
+
+def test_drop_cross_control_keeps_only_intra(rng):
+    """drop_cross=True builds the zero-communication control: no pull
+    slots, no push slots, intra edges only."""
+    s, _ = big_typed_graph(rng)
+    n = s.n_nodes
+    part = partition_typed_graph(
+        n, s.node_type, s.x, s.edge_src, s.edge_dst, s.edge_type, N_DEV,
+        n_types=6, drop_cross=True)
+    assert part.send_mask.sum() == 0
+    assert part.p_max == 0

@@ -318,3 +318,70 @@ def test_typed_transform_aggregate_equivalence(rng):
                                     b.edge_type, 6)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_gat_conv_matches_numpy_softmax_oracle(rng):
+    """Typed GAT aggregation (conv_type='GAT', gnn_model.py:222-224):
+    per-(dst, edge-type) softmax attention with a self-loop candidate,
+    checked against a direct numpy softmax per segment."""
+    from desco_tpu.batch.build import neighborhood_sample
+    from desco_tpu.graph import canonical_neighborhood
+    from desco_tpu.models.shmp_gnn import (
+        apply_shmp_core,
+        init_shmp,
+        neighborhood_target_config,
+    )
+    from desco_tpu.batch.packed import auto_capacities, pack_samples
+
+    g = random_graph(rng, 20, 0.25)
+    nb = canonical_neighborhood(g, g.n_nodes - 1, depth=10)
+    s = neighborhood_sample(nb)
+    cfg = neighborhood_target_config(layer_num=1, hidden_dim=8,
+                                     conv_type="GAT")
+    params = init_shmp(jax.random.PRNGKey(3), cfg)
+    [b] = pack_samples([s], *auto_capacities([s], g_cap=1))
+    out = np.asarray(apply_shmp_core(params, cfg, b))
+
+    # ---- numpy oracle over raw (unpacked) edges
+    n = b.x.shape[0]
+    t_n = cfg.n_edge_types
+    pre_w, pre_b = np.asarray(params["pre"][0]), np.asarray(params["pre"][1])
+    ntype = np.asarray(b.node_type)
+    nmask = np.asarray(b.node_mask)
+    x = np.asarray(b.x, np.float32)
+    h = np.stack([x[i] @ pre_w[ntype[i]] + pre_b[ntype[i]]
+                  for i in range(n)]) * nmask[:, None]
+
+    conv_w = np.asarray(params["conv"][0][0])   # [T, H, H]
+    conv_b = np.asarray(params["conv"][1][0])   # [T, H]
+    a_src = np.asarray(params["att"][0][0])     # [T, H]
+    a_dst = np.asarray(params["att"][1][0])
+    z = np.einsum("nh,thk->tnk", h, conv_w)
+    lrelu = lambda v: np.where(v > 0, v, 0.2 * v)
+
+    es = np.asarray(b.edge_src)
+    ed = np.asarray(b.edge_dst)
+    et = np.asarray(b.edge_type)
+    live = et < t_n                              # pad edges excluded
+    agg = np.zeros((n, h.shape[1]))
+    for i in range(n):
+        for t in range(t_n):
+            sel = live & (ed == i) & (et == t)
+            cand_z = [z[t, i]]                   # self loop
+            cand_s = [lrelu(z[t, i] @ a_src[t] + z[t, i] @ a_dst[t])]
+            for e in np.nonzero(sel)[0]:
+                cand_z.append(z[t, es[e]])
+                cand_s.append(lrelu(z[t, es[e]] @ a_src[t]
+                                    + z[t, i] @ a_dst[t]))
+            sarr = np.array(cand_s)
+            p = np.exp(sarr - sarr.max())
+            p /= p.sum()
+            agg[i] += (p[:, None] * np.stack(cand_z)).sum(0)
+    # per-dst-type conv bias, then x = relu(agg) with mask; concat skip
+    dst_t = np.asarray(cfg.edge_dst_type)
+    bias_by_nt = np.zeros((cfg.n_node_types, h.shape[1]))
+    for t in range(t_n):
+        bias_by_nt[dst_t[t]] += conv_b[t]
+    x1 = np.maximum(agg + bias_by_nt[ntype], 0.0) * nmask[:, None]
+    ref = np.concatenate([h, x1], axis=-1)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
