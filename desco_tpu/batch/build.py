@@ -41,6 +41,11 @@ NEIGH_TCONV_DST = (0, 0, 1, 1, 0, 0)
 NEIGH_PLAIN_DST = (0, 1, 0)
 QUERY_TCONV_DST = (0, 0)
 QUERY_PLAIN_DST = (0,)
+# order-4 SHMP: 11 edge-orbit classes (union_1..union_11,
+# lightning_model.py:441-458; orbit typing from graph/orbits.py) x the
+# 3 (src,dst) canonical combos — type = orbit*3 + combo, dst per combo
+# follows NEIGH_PLAIN_DST
+NEIGH_ORDER4_DST = tuple(NEIGH_PLAIN_DST) * 11
 
 
 def _directed(edges: np.ndarray):
@@ -61,11 +66,30 @@ def neighborhood_sample(
     y: Optional[np.ndarray] = None,
     f_dim: int = 1,
     x: Optional[np.ndarray] = None,
+    order: int = 3,
 ) -> GraphSample:
     g = nb.graph
     node_type = np.full(g.n_nodes, COUNT, dtype=np.int32)
     node_type[nb.canonical] = CANONICAL
     src, dst, eid = _directed(g.edges)
+    if order == 4:
+        # order-4 SHMP edge typing: per-edge graphlet orbit class
+        # (graph/orbits.py, the orca replacement) x (src,dst)-canonical
+        # combo — the to_hetero(order=4) relation expansion
+        from ..graph.orbits import order4_edge_types
+
+        orb = (order4_edge_types(g)[eid] if len(eid)
+               else np.zeros(0, np.int32))
+        s_can = node_type[src] == CANONICAL
+        d_can = node_type[dst] == CANONICAL
+        combo = np.where(s_can, 2, np.where(d_can, 1, 0))
+        etype = (orb * 3 + combo).astype(np.int32)
+        if x is None:
+            x = np.zeros((g.n_nodes, f_dim), dtype=np.float32)
+        return GraphSample(
+            node_type=node_type, x=x.astype(np.float32),
+            edge_src=src, edge_dst=dst, edge_type=etype, y=y,
+        )
     if use_tconv:
         tri = triangle_edge_mask(g)[eid] if len(eid) else np.zeros(0, bool)
         s_can = node_type[src] == CANONICAL

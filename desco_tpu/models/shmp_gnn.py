@@ -317,10 +317,19 @@ def _apply_post(post, x, cfg, rng, train):
 
 # ----------------------------------------------------------------- configs
 def neighborhood_target_config(
-    use_tconv: bool = True, use_hetero: bool = True, **kw
+    use_tconv: bool = True, use_hetero: bool = True, order: int = 3, **kw
 ) -> SHMPConfig:
-    from ..batch.build import NEIGH_PLAIN_DST, NEIGH_TCONV_DST
+    from ..batch.build import (
+        NEIGH_ORDER4_DST,
+        NEIGH_PLAIN_DST,
+        NEIGH_TCONV_DST,
+    )
 
+    if order == 4:
+        # order-4 SHMP: 11 edge-orbit classes x 3 canonical combos
+        # (lightning_model.py:441-458 union_1..union_11 via to_hetero)
+        return SHMPConfig(n_node_types=2, n_edge_types=33,
+                          edge_dst_type=NEIGH_ORDER4_DST, **kw)
     if not use_hetero:
         return SHMPConfig(n_node_types=1, n_edge_types=1,
                           edge_dst_type=(0,), use_anchor=True,
