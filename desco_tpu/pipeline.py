@@ -196,11 +196,16 @@ def train_neighborhood_stage(
 def neighborhood_predictions(params, tgt_cfg, qry_cfg, query_batch,
                              stage: StageData,
                              cfg: Optional[PipelineConfig] = None,
-                             ) -> np.ndarray:
+                             return_verified: bool = False):
     """(#neighborhoods, Q) de-logged stage-1 counts; clamped to the
-    combinatorial neighborhood bound when cfg.clamp_counts."""
+    combinatorial neighborhood bound when cfg.clamp_counts and
+    exact-recounted on the top tail when cfg.verify_budget > 0.
+    With ``return_verified``, also returns the neighborhood row indices
+    whose counts are now EXACT (so downstream stages can prefer them
+    over any learned residual)."""
     counts = train_loop.predict_neighborhood_counts(
         params, tgt_cfg, qry_cfg, query_batch, stage.batches)
+    verified = np.zeros(0, np.int64)
     if cfg is not None and cfg.clamp_counts:
         from .truth.bounds import clamp_counts, neighborhood_count_bounds
 
@@ -209,12 +214,14 @@ def neighborhood_predictions(params, tgt_cfg, qry_cfg, query_batch,
             canonical_type=tgt_cfg.canonical_type)
         counts = clamp_counts(counts, ubs)
     if cfg is not None and cfg.verify_budget > 0:
-        counts = verify_tail_counts(counts, stage, cfg)
+        counts, verified = verify_tail_counts(counts, stage, cfg)
+    if return_verified:
+        return counts, verified
     return counts
 
 
 def verify_tail_counts(counts: np.ndarray, stage: StageData,
-                       cfg: PipelineConfig) -> np.ndarray:
+                       cfg: PipelineConfig):
     """Exact-recount the top predicted tail (fast-path/exact-fallback
     serving): the ceil(verify_budget * N) neighborhoods with the largest
     TOTAL predicted count are replaced by exact canonical counts from
@@ -257,8 +264,9 @@ def verify_tail_counts(counts: np.ndarray, stage: StageData,
         if nb is not None:
             nbs.append(nb)
             rows.append(i)
+    row_arr = np.asarray(rows, np.int64)
     if not nbs:
-        return counts
+        return counts, row_arr
     if labeled:
         for nb, i in zip(nbs, rows):
             t_lab = nb.graph.node_feat.argmax(-1).astype(np.int32)
@@ -271,7 +279,7 @@ def verify_tail_counts(counts: np.ndarray, stage: StageData,
                     count_induced_embeddings(nb.graph, q, per, t_lab,
                                              q_labels[qi])
                 counts[i, qi] = per[nb.canonical] / sf[qi]
-        return counts
+        return counts, row_arr
     if truth_native.native_available():
         # thread-parallel over (neighborhood, query); GIL released in C
         per_nb = truth_native.parallel_canonical_counts(
@@ -280,7 +288,7 @@ def verify_tail_counts(counts: np.ndarray, stage: StageData,
         per_nb = [py_canonical_counts(nb.graph, queries) for nb in nbs]
     for nb, i, cc in zip(nbs, rows, per_nb):
         counts[i] = cc[nb.canonical]
-    return counts
+    return counts, row_arr
 
 
 def prepare_gossip_batches(

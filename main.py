@@ -92,9 +92,11 @@ def main(argv=None) -> int:
         neigh_params, _, _ = load_checkpoint(ckpt, template)
         print(f"loaded neighborhood model from {ckpt}")
 
-    # stage-1 predictions
-    counts = {"test": neighborhood_predictions(
-        neigh_params, tgt_cfg, qry_cfg, qb, test_stage, cfg)}
+    # stage-1 predictions (verified rows carry EXACT counts)
+    counts_test, verified_rows = neighborhood_predictions(
+        neigh_params, tgt_cfg, qry_cfg, qb, test_stage, cfg,
+        return_verified=True)
+    counts = {"test": counts_test}
     if train_needed:
         counts["train"] = neighborhood_predictions(
             neigh_params, tgt_cfg, qry_cfg, qb, train_stage, cfg)
@@ -133,6 +135,14 @@ def main(argv=None) -> int:
 
         gossip_node_counts = predict_gossip_counts(
             gossip_params, query_embs, test_gbatches)
+        if len(verified_rows):
+            # exact counts beat any learned residual: where the serving
+            # verifier recounted a neighborhood with VF2, keep that
+            # value through the gossip stage (its node row is the
+            # neighborhood's canonical node, via the indicator map)
+            node_rows = np.nonzero(
+                test_stage.nindex.indicator)[0][verified_rows]
+            gossip_node_counts[node_rows] = counts["test"][verified_rows]
 
         # gossip gate analysis (main.py:432-439)
         gates = np.asarray(gate_values(gossip_params, query_embs))
