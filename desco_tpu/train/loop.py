@@ -331,8 +331,12 @@ def gossip_step_fn(dropout: float, query_embs, tx):
 
 def gossip_eval_fn(query_embs):
     def eval_one(params, batch):
+        # gossip_loss is a SUM over valid (node, query) terms; weight by
+        # the valid-node count so the epoch metric is a per-node mean —
+        # stable under re-batching (the quantity LR-plateau and best-ckpt
+        # monitor must not depend on gossip_batch_size)
         loss = gossip_mod.gossip_loss(params, batch, query_embs)
-        return loss, jnp.float32(1.0)
+        return loss, batch.node_mask.sum()
 
     return eval_one
 
