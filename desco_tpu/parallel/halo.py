@@ -72,14 +72,15 @@ class HaloPartition:
     # peer; dead slots point out of range (scatter drops them)
     push_tgt: np.ndarray     # [D, D, p_max] i32 cell ids < n_loc*T
     node_y: Optional[np.ndarray] = None  # [D, n_loc, Q] per-node labels
+    # global-node-id range owned by each device (degree-aware contiguous
+    # cuts; device d owns [node_range[d,0], node_range[d,1])). A dynamic
+    # per-device LEAF (not static metadata) so partitions of *different*
+    # graphs stack along the device axis for DP x halo composition
+    # (parallel/topology.py); only host-side reassembly reads it.
+    node_range: Optional[np.ndarray] = None  # [D, 2] i64
     n_graphs: int = struct.field(pytree_node=False, default=1)
     # number of edge types baked into the segment keys
     n_types: int = struct.field(pytree_node=False, default=1)
-    # global-node-id range starts per device (degree-aware contiguous
-    # cuts; device d owns [starts[d], starts[d+1])) — static layout
-    # metadata, needed to reassemble global node order from shards
-    node_starts: Tuple[int, ...] = struct.field(pytree_node=False,
-                                                default=())
 
     @property
     def n_devices(self) -> int:
@@ -100,13 +101,21 @@ class HaloPartition:
         return self.push_tgt.shape[-1]
 
 
+def partition_caps(part: HaloPartition) -> dict:
+    """The padded capacities of a partition — pass the element-wise max
+    over several partitions back as ``min_caps`` to harmonize shapes."""
+    return {"n_loc": part.n_loc,
+            "e_loc": part.edge_src_ext.shape[-1],
+            "h_max": part.h_max, "p_max": part.p_max}
+
+
 def unpartition_nodes(part: HaloPartition, arr: np.ndarray) -> np.ndarray:
     """[D, n_loc, ...] per-shard node values -> [n_nodes, ...] in global
     node order (inverse of the partitioner's range layout)."""
-    starts = part.node_starts
+    r = np.asarray(part.node_range)
     arr = np.asarray(arr)
     return np.concatenate([
-        arr[dev, :starts[dev + 1] - starts[dev]]
+        arr[dev, :int(r[dev, 1] - r[dev, 0])]
         for dev in range(part.n_devices)
     ], axis=0)
 
@@ -115,11 +124,11 @@ def partition_node_values(part: HaloPartition,
                           vals: np.ndarray) -> np.ndarray:
     """[n_nodes, ...] global node values -> [D, n_loc, ...] shards padded
     with zeros (the partitioner's range layout)."""
-    starts = part.node_starts
+    r = np.asarray(part.node_range)
     d, n_loc = part.n_devices, part.n_loc
     out = np.zeros((d, n_loc) + vals.shape[1:], vals.dtype)
     for dev in range(d):
-        lo, hi = starts[dev], starts[dev + 1]
+        lo, hi = int(r[dev, 0]), int(r[dev, 1])
         out[dev, :hi - lo] = vals[lo:hi]
     return out
 
@@ -269,6 +278,7 @@ def partition_typed_graph(
     node_y: Optional[np.ndarray] = None,
     n_types: Optional[int] = None,
     drop_cross: bool = False,
+    min_caps: Optional[dict] = None,
 ) -> HaloPartition:
     """Host-side partitioner: contiguous node ranges with DEGREE-AWARE
     cut points (each device owns ~equal adjacency volume), hybrid
@@ -279,7 +289,13 @@ def partition_typed_graph(
 
     ``drop_cross=True`` keeps only intra-device edges (no halo at all) —
     a shape-comparable zero-communication control for the scaling
-    harness, NOT a correct partition of the graph."""
+    harness, NOT a correct partition of the graph.
+
+    ``min_caps`` ({'n_loc','e_loc','h_max','p_max'}) floors the padded
+    capacities so partitions of DIFFERENT graphs come out with identical
+    leaf shapes — required to stack them along a ``data`` axis for the
+    DP x halo composition (parallel/topology.py). Segment keys embed
+    n_loc/p_max, so harmonization must happen here, not by re-padding."""
     del pad_edge_type  # pads are out-of-range segment keys now
     d = n_devices
     if n_types is None:
@@ -304,6 +320,8 @@ def partition_typed_graph(
     assert starts[0] == 0 and starts[-1] == n_nodes and np.all(
         np.diff(starts) >= 1), starts
     n_loc = int(((np.diff(starts).max() + 7) // 8) * 8)
+    caps = min_caps or {}
+    n_loc = max(n_loc, int(caps.get("n_loc", 0)))
 
     def owner_of(ids):
         return np.searchsorted(starts, ids, side="right") - 1
@@ -341,9 +359,11 @@ def partition_typed_graph(
     h_max = max([1] + [len(pull_ids[dev][p])
                        for dev in range(d) for p in range(d)])
     h_max = ((h_max + 7) // 8) * 8
+    h_max = max(h_max, int(caps.get("h_max", 0)))
     p_counts = [len(push_cells[s][dev]) for s in range(d) for dev in range(d)]
     p_max = max([0] + p_counts)
     p_max = ((p_max + 7) // 8) * 8  # 0 stays 0: no push pairs anywhere
+    p_max = max(p_max, int(caps.get("p_max", 0)))
 
     send_idx = np.zeros((d, d, h_max), np.int32)
     send_mask = np.zeros((d, d, h_max), np.float32)
@@ -388,6 +408,7 @@ def partition_typed_graph(
     res_dev = np.where(is_push_edge, owner_src, owner_dst)
     e_counts = np.bincount(res_dev, minlength=d)
     e_loc = int(max(128, ((e_counts.max() + 127) // 128) * 128))
+    e_loc = max(e_loc, int(caps.get("e_loc", 0)))
 
     seg_total = n_loc * t + d * p_max
     ES = np.full((d, e_loc), n_loc - 1, np.int32)
@@ -430,7 +451,7 @@ def partition_typed_graph(
         edge_src_ext=ES, edge_seg=ESEG,
         send_idx=send_idx, send_mask=send_mask, push_tgt=push_tgt,
         node_y=NY, n_graphs=n_graphs, n_types=t,
-        node_starts=tuple(int(v) for v in starts))
+        node_range=np.stack([starts[:-1], starts[1:]], 1).astype(np.int64))
 
 
 # ------------------------------------------------------------- device side
