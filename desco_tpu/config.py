@@ -39,7 +39,7 @@ def build_parser() -> argparse.ArgumentParser:
     n.add_argument("--neigh_lr", type=float, default=1e-4)
     n.add_argument("--agg_mode", type=str, default="auto",
                    choices=["auto", "pallas", "aggregate_first",
-                            "transform_first"],
+                            "transform_first", "cumsum"],
                    help="typed-aggregation kernel (auto: Pallas on TPU)")
 
     g = p.add_argument_group("gossip counting model arguments")

@@ -136,6 +136,13 @@ def packed_aggregator(cfg: SHMPConfig, batch: PackedGraphs):
             return typed_transform_aggregate(
                 x, conv_w, batch.edge_src, batch.edge_dst,
                 batch.edge_type, cfg.n_edge_types)
+    elif cfg.agg_mode == "cumsum":
+        from ..ops.segment import cumsum_typed_transform_aggregate
+
+        def agg_fn(x, conv_w):
+            return cumsum_typed_transform_aggregate(
+                x, conv_w, batch.edge_src, batch.edge_dst,
+                batch.edge_type, cfg.n_edge_types)
     elif cfg.agg_mode == "pallas":
         from ..ops.pallas_segment import fused_typed_transform_aggregate
 

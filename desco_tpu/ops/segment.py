@@ -72,6 +72,51 @@ def typed_transform_aggregate(
                        indices_are_sorted=True)
 
 
+def cumsum_sorted_segment_sum(
+    msgs: jnp.ndarray,  # [E, K]
+    seg: jnp.ndarray,   # [E] i32 SORTED segment ids (>= n_segments: pad)
+    n_segments: int,
+) -> jnp.ndarray:
+    """Segment-sum of a sorted stream as prefix-sum + boundary gather:
+
+        S = cumsum(msgs);  out[s] = S[hi_s - 1] - S[lo_s - 1]
+
+    Pure XLA (no scatter): one cumsum pass over the edge stream + two
+    [n_segments] gathers. An A/B alternative to the Pallas one-hot-MXU
+    kernel (ops/pallas_segment.py) for the SHMP hot reduction — VPU
+    adds at stream bandwidth instead of MXU one-hot matmuls. f32
+    accumulation; for bf16-scale inputs the prefix-sum cancellation
+    error (~sqrt(E) ulps) sits far below input precision.
+    """
+    s32 = seg.astype(jnp.int32)
+    cs = jnp.cumsum(msgs.astype(jnp.float32), axis=0)
+    bounds = jnp.arange(n_segments + 1, dtype=jnp.int32)
+    offs = jnp.searchsorted(s32, bounds, method="scan_unrolled")
+    padded = jnp.concatenate(
+        [jnp.zeros((1, msgs.shape[1]), cs.dtype), cs], axis=0)
+    return (jnp.take(padded, offs[1:], axis=0)
+            - jnp.take(padded, offs[:-1], axis=0))
+
+
+def cumsum_typed_transform_aggregate(
+    x: jnp.ndarray,          # [N, H]
+    conv_w: jnp.ndarray,     # [T, H, K]
+    edge_src: jnp.ndarray,   # [E]
+    edge_dst: jnp.ndarray,   # [E] (dst,type)-sorted => dst monotone
+    edge_type: jnp.ndarray,  # [E]
+    n_types: int,
+) -> jnp.ndarray:
+    """typed_transform_aggregate with the cumsum reduction (agg_mode
+    'cumsum'). Pad edges point src at the zero pad node, so their rows
+    vanish from every segment difference."""
+    n = x.shape[0]
+    y = jnp.einsum("nh,thk->tnk", x, conv_w)
+    flat = y.reshape(n_types * n, conv_w.shape[2])
+    idx = edge_type.astype(jnp.int32) * n + edge_src.astype(jnp.int32)
+    msgs = jnp.take(flat, idx, axis=0, fill_value=0.0)
+    return cumsum_sorted_segment_sum(msgs, edge_dst.astype(jnp.int32), n)
+
+
 def graph_pool_sum(
     node_emb: jnp.ndarray,   # [N, H]
     node_graph: jnp.ndarray,  # [N] i32, pad nodes -> n_graphs

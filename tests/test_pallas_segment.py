@@ -162,3 +162,27 @@ def test_shmp_core_pallas_grads_match(rng):
         lambda a, r: np.testing.assert_allclose(
             np.asarray(a), np.asarray(r), rtol=8e-2, atol=3e-2),
         g_out, g_ref)
+
+
+def test_shmp_core_cumsum_matches_xla(rng):
+    """agg_mode='cumsum' (prefix-sum + boundary gather, ops/segment.py)
+    == the scatter path, forward and grads (all-f32: tight tolerance)."""
+    import dataclasses
+
+    from desco_tpu.models.shmp_gnn import apply_shmp_core
+
+    b, cfg, _, params = _packed_case(rng)
+    cfg_c = dataclasses.replace(cfg, agg_mode="cumsum")
+    ref = np.asarray(apply_shmp_core(params, cfg, b))
+    out = np.asarray(apply_shmp_core(params, cfg_c, b))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+    def loss(p, c):
+        return (apply_shmp_core(p, c, b) ** 2).sum()
+
+    g_ref = jax.grad(lambda p: loss(p, cfg))(params)
+    g_out = jax.grad(lambda p: loss(p, cfg_c))(params)
+    jax.tree_util.tree_map(
+        lambda a, d: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(d), rtol=1e-3, atol=1e-3),
+        g_out, g_ref)
