@@ -43,6 +43,37 @@ def torch_params(params):
         lambda a: _t(a).requires_grad_(True), params)
 
 
+def _torch_gat_neigh(tp, cfg, batch, x, l):
+    """Per-edge-type GATConv(heads=1) clone with PyG's default
+    self-loop, per-destination softmax, outputs summed across types —
+    computed with explicit per-node python loops (the most independent
+    possible formulation)."""
+    n_nodes = x.shape[0]
+    src = np.asarray(batch.edge_src).astype(np.int64)
+    dst = np.asarray(batch.edge_dst).astype(np.int64)
+    etype = np.asarray(batch.edge_type).astype(np.int64)
+    w_conv = tp["conv"][0][l]
+    a_src, a_dst = tp["att"][0][l], tp["att"][1][l]
+    out = torch.zeros_like(x)
+    for t in range(cfg.n_edge_types):
+        z = x @ w_conv[t]
+        s_s = z @ a_src[t]
+        s_d = z @ a_dst[t]
+        sel = np.nonzero(etype == t)[0]
+        by_dst = {}
+        for e in sel:
+            by_dst.setdefault(int(dst[e]), []).append(int(src[e]))
+        for i in range(n_nodes):
+            srcs = by_dst.get(i, []) + [i]  # self-loop candidate
+            logits = torch.stack([
+                torch.nn.functional.leaky_relu(s_s[j] + s_d[i], 0.2)
+                for j in srcs])
+            alpha = torch.softmax(logits, dim=0)
+            out[i] = out[i] + sum(
+                alpha[k] * z[j] for k, j in enumerate(srcs))
+    return out
+
+
 def torch_shmp_forward(tp, cfg, batch):
     """to_hetero-style oracle of apply_shmp: [G, out] f64."""
     n_t, t_e = cfg.n_node_types, cfg.n_edge_types
@@ -65,14 +96,17 @@ def torch_shmp_forward(tp, cfg, batch):
     emb = x
     for l in range(cfg.layer_num):
         w_conv, b_conv = tp["conv"][0][l], tp["conv"][1][l]
-        x_neigh = torch.zeros_like(x)
-        for t in range(t_e):
-            sel = etype == t  # padding edges carry type >= t_e
-            if not sel.any():
-                continue
-            aggr = torch.zeros_like(x)
-            aggr.index_add_(0, torch.tensor(dst[sel]), x[src[sel]])
-            x_neigh = x_neigh + aggr @ w_conv[t]
+        if cfg.conv_type == "GAT":
+            x_neigh = _torch_gat_neigh(tp, cfg, batch, x, l)
+        else:
+            x_neigh = torch.zeros_like(x)
+            for t in range(t_e):
+                sel = etype == t  # padding edges carry type >= t_e
+                if not sel.any():
+                    continue
+                aggr = torch.zeros_like(x)
+                aggr.index_add_(0, torch.tensor(dst[sel]), x[src[sel]])
+                x_neigh = x_neigh + aggr @ w_conv[t]
         for t in range(t_e):
             # every edge-type clone contributes its bias to all nodes of
             # its dst node type (reference pads every sample to the full
@@ -87,7 +121,7 @@ def torch_shmp_forward(tp, cfg, batch):
                 rows = ntype == nt
                 x2[rows] = upd_in[rows] @ w_u[nt] + b_u[nt]
             x = x2
-        elif cfg.conv_type == "GCN":
+        elif cfg.conv_type in ("GCN", "GAT"):
             x = x_neigh
         else:  # GIN, eps = 0
             upd_in = x_neigh + x
@@ -125,7 +159,7 @@ def torch_shmp_forward(tp, cfg, batch):
     return h @ w4 + b4
 
 
-@pytest.mark.parametrize("conv_type", ["SAGE", "GIN", "GCN"])
+@pytest.mark.parametrize("conv_type", ["SAGE", "GIN", "GCN", "GAT"])
 def test_forward_matches_torch_oracle(rng, conv_type):
     samples = make_neigh_samples(rng, n_graphs=4)
     n_cap, e_cap, g_cap = auto_capacities(samples, g_cap=len(samples) + 1)
