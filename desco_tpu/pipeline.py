@@ -291,6 +291,23 @@ def verify_tail_counts(counts: np.ndarray, stage: StageData,
     return counts, row_arr
 
 
+def apply_verified_override(gossip_node_counts: np.ndarray,
+                            neigh_counts: np.ndarray,
+                            verified_rows: np.ndarray,
+                            nindex) -> np.ndarray:
+    """Exact counts beat any learned residual: where the serving
+    verifier recounted a neighborhood with VF2 (verify_tail_counts),
+    keep that value through the gossip stage. A verified neighborhood's
+    node row is its canonical node — the i-th True of the indicator
+    (workload.py:107-126 scatter semantics). Returns a copy."""
+    out = np.array(gossip_node_counts)
+    if len(verified_rows):
+        node_rows = np.nonzero(np.asarray(nindex.indicator))[0][
+            np.asarray(verified_rows)]
+        out[node_rows] = neigh_counts[verified_rows]
+    return out
+
+
 def prepare_gossip_batches(
     cfg: PipelineConfig, stage: StageData, neigh_counts: np.ndarray,
     capacities=None,

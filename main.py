@@ -25,6 +25,7 @@ from desco_tpu.data.datasets import load_data
 from desco_tpu.models import neighborhood as neigh_mod
 from desco_tpu.models.shmp_gnn import SHMPConfig
 from desco_tpu.pipeline import (
+    apply_verified_override,
     build_query_batch,
     evaluate_graphlet_counts,
     model_configs,
@@ -135,14 +136,9 @@ def main(argv=None) -> int:
 
         gossip_node_counts = predict_gossip_counts(
             gossip_params, query_embs, test_gbatches)
-        if len(verified_rows):
-            # exact counts beat any learned residual: where the serving
-            # verifier recounted a neighborhood with VF2, keep that
-            # value through the gossip stage (its node row is the
-            # neighborhood's canonical node, via the indicator map)
-            node_rows = np.nonzero(
-                test_stage.nindex.indicator)[0][verified_rows]
-            gossip_node_counts[node_rows] = counts["test"][verified_rows]
+        gossip_node_counts = apply_verified_override(
+            gossip_node_counts, counts["test"], verified_rows,
+            test_stage.nindex)
 
         # gossip gate analysis (main.py:432-439)
         gates = np.asarray(gate_values(gossip_params, query_embs))

@@ -107,3 +107,52 @@ def test_checkpoint_roundtrip(tiny_cfg, tiny_data, tmp_path):
     for a, b in zip(flat1, flat2):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert meta["config"]["depth"] == tiny_cfg.depth
+
+
+def test_verify_tail_counts_exactness(tiny_cfg, tiny_data):
+    """verify_tail_counts replaces the selected rows with EXACT canonical
+    counts (== the stage truth) and reports exactly those rows."""
+    from desco_tpu.pipeline import verify_tail_counts
+
+    _, _, test = tiny_data
+    cfg = dataclasses.replace(tiny_cfg, verify_budget=0.3)
+    n = len(test.nindex.index)          # neighborhoods, not nodes
+    q = test.truth.shape[1]
+    rng = np.random.default_rng(0)
+    fake = rng.random((n, q)).astype(np.float32) * 10.0
+    fixed, rows = verify_tail_counts(np.array(fake), test, cfg)
+    assert len(rows) == int(np.ceil(0.3 * n))
+    # the verifier targets the largest predicted totals
+    totals = fake.sum(1)
+    assert set(rows) == set(np.argsort(-totals)[:len(rows)])
+    # exact recounts == the per-node truth at each neighborhood's
+    # canonical node (decomposition exactness)
+    node_rows = np.nonzero(np.asarray(test.nindex.indicator))[0][rows]
+    np.testing.assert_allclose(fixed[rows], test.truth[node_rows],
+                               rtol=1e-6, atol=1e-6)
+    untouched = np.setdiff1d(np.arange(n), rows)
+    np.testing.assert_array_equal(fixed[untouched], fake[untouched])
+
+
+def test_apply_verified_override_mapping(tiny_cfg, tiny_data):
+    """Verified neighborhood rows land on their canonical node rows of
+    the gossip output (i-th verified neighborhood -> i-th True of the
+    indicator)."""
+    from desco_tpu.pipeline import apply_verified_override
+
+    _, _, test = tiny_data
+    n = len(test.nindex.index)
+    q = test.truth.shape[1]
+    total = test.workload.total_nodes
+    rng = np.random.default_rng(1)
+    gossip = rng.random((total, q)).astype(np.float32)
+    neigh = rng.random((n, q)).astype(np.float32)
+    rows = np.array([0, n - 1], np.int64)
+    out = apply_verified_override(gossip, neigh, rows, test.nindex)
+    node_rows = np.nonzero(np.asarray(test.nindex.indicator))[0][rows]
+    np.testing.assert_array_equal(out[node_rows], neigh[rows])
+    mask = np.ones(total, bool)
+    mask[node_rows] = False
+    np.testing.assert_array_equal(out[mask], gossip[mask])
+    # input untouched (returns a copy)
+    assert not np.array_equal(out, gossip)
