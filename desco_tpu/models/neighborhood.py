@@ -110,3 +110,11 @@ def predict_counts(params, tgt_cfg, qry_cfg, batch, query_batch):
     shape [G, Q]; invalid graph rows are meaningless (mask outside)."""
     pred = forward_counts(params, tgt_cfg, qry_cfg, batch, query_batch)
     return 2.0 ** pred - 1.0
+
+
+def predict_counts_from_embs(params, tgt_cfg, batch, emb_q):
+    """predict_counts with the query tower hoisted: the query set is
+    static per serving run, so emb_q ([Q, H], from embed_queries) is
+    computed ONCE and reused across all target batches."""
+    emb_t = embed_targets(params, tgt_cfg, batch)
+    return 2.0 ** count_head(params, emb_t, emb_q) - 1.0

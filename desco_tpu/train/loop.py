@@ -285,14 +285,17 @@ def train_neighborhood(
 def predict_neighborhood_counts(params, tgt_cfg, qry_cfg, query_batch,
                                 batches: List[PackedGraphs]) -> np.ndarray:
     # python loop over device batches (lax.map is a scan: pathologically
-    # slow on this stack)
+    # slow on this stack); the query tower runs ONCE — the query set is
+    # static across batches (reference set_query_emb semantics)
     stacked = jax.device_put(stack_batches(batches))
-    fn = jax.jit(lambda p, b: neigh_mod.predict_counts(
-        p, tgt_cfg, qry_cfg, b, query_batch))
+    emb_q = jax.jit(lambda p, qb: neigh_mod.embed_queries(
+        p, qry_cfg, qb))(params, jax.device_put(query_batch))
+    fn = jax.jit(lambda p, b, eq: neigh_mod.predict_counts_from_embs(
+        p, tgt_cfg, b, eq))
     out = []
     for bi, b in enumerate(batches):
         dev_b = jax.tree_util.tree_map(lambda x, i=bi: x[i], stacked)
-        preds = np.asarray(fn(params, dev_b))
+        preds = np.asarray(fn(params, dev_b, emb_q))
         valid = np.asarray(b.graph_mask) > 0
         out.append(preds[valid])
     return np.concatenate(out, axis=0)
