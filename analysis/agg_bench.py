@@ -72,7 +72,10 @@ def main() -> int:
 
     for mode in args.modes:
         cfg = dataclasses.replace(base, agg_mode=mode)
-        fwd = jax.jit(lambda p, b: apply_shmp_core(p, cfg, b))
+        # reduce to a scalar INSIDE jit: the [N, 576] core output is
+        # ~50MB — reading it back over the device tunnel would dwarf
+        # the compute being measured
+        fwd = jax.jit(lambda p, b: apply_shmp_core(p, cfg, b).sum())
         try:
             dt = timeit(fwd, params, batch)
         except Exception as e:  # noqa: BLE001

@@ -44,6 +44,10 @@ except Exception:  # pragma: no cover
 
 SEG_TILE = 1024  # dst nodes (segments) per grid cell / accumulator rows
 CE = 512         # edges per inner chunk (DMA granularity)
+GSZ = 512        # edges per one-hot matmul group (multiple of 128, <= CE)
+#   (512, 512, 1024) won the hardware sweep: ~22% faster than the
+#   per-sub-row (gsz=128) original on the bench edge stream — fewer,
+#   larger MXU matmuls beat a lower fallback rate.
 LANES = 128      # feature lanes (pad H up to this)
 TILE_N = 128     # lane-alignment quantum for capacities (back-compat)
 
@@ -65,14 +69,24 @@ KS = CE // 128  # key sub-rows per chunk (keys stored [n_chunks, KS, 128])
 
 def _segsum_kernel(offs_ref, seg_hbm, msgs_hbm, out_ref,
                    acc_ref, sbuf, mbuf, sem_s, sem_m,
-                   *, seg_tile: int, ce: int):
+                   *, seg_tile: int, ce: int, gsz: int):
     """One output tile of seg_tile segments; double-buffered chunk loop.
 
     Grid cells own many ce-edge chunks, so the next chunk's DMA overlaps
     the current chunk's matmuls; cells share at most one boundary chunk,
     so the edge stream is fetched ~once total.
+
+    Within a chunk, edges are processed in GROUPS of ``gsz`` (a multiple
+    of 128): the keys are sorted, so a group's destinations land in
+    (almost always) <= 2 adjacent 128-row slices of the accumulator —
+    build a [128, gsz] one-hot against each of the two slices and do ONE
+    MXU matmul per slice. Rare spans > 2 slices (boundary chunks, pad
+    tails, degree-1 runs) take a full-tile [seg_tile, gsz] fallback.
+    Larger ``ce`` amortizes DMA issue latency; larger ``gsz`` halves the
+    matmul count per edge but raises the fallback rate.
     """
     ks = ce // 128
+    gs = gsz // 128    # key sub-rows per group
     i = pl.program_id(0)
     base = i * seg_tile
     lo = offs_ref[i]
@@ -103,6 +117,10 @@ def _segsum_kernel(offs_ref, seg_hbm, msgs_hbm, out_ref,
     rows128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
     rows_full = jax.lax.broadcasted_iota(jnp.int32, (seg_tile, 128), 0)
 
+    def one_hot(rels, rows):
+        cols = [(rows == r[None, :]).astype(jnp.bfloat16) for r in rels]
+        return cols[0] if len(cols) == 1 else jnp.concatenate(cols, 1)
+
     def chunk_body(c, _):
         slot = (c - c0) % 2
 
@@ -114,30 +132,22 @@ def _segsum_kernel(offs_ref, seg_hbm, msgs_hbm, out_ref,
         for d in get_dma(slot, c):
             d.wait()
 
-        # Per 128-key sub-row: the keys are sorted, so the sub-row's
-        # edges land in (almost always) <= 2 adjacent 128-row slices of
-        # the accumulator — build [128,128] one-hots against those two
-        # slices only (VPU cost ~seg_tile/8 lower than a full-tile
-        # one-hot). Rare spans > 2 slices (boundary chunks, pad tails)
-        # take a full-tile matmul fallback.
-        for j in range(ks):
-            row_of_e = sbuf[slot, j, :] - base              # [128]
-            t_vec = jnp.clip(row_of_e, 0, seg_tile - 1) // 128
-            t_a = jnp.min(t_vec)
-            t_b = jnp.max(t_vec)
+        for g in range(ce // gsz):
+            rels = [sbuf[slot, g * gs + j, :] - base for j in range(gs)]
+            t_lo = [jnp.clip(r, 0, seg_tile - 1) // 128 for r in rels]
+            t_a = jnp.min(jnp.stack([jnp.min(t) for t in t_lo]))
+            t_b = jnp.max(jnp.stack([jnp.max(t) for t in t_lo]))
+            m = mbuf[slot, g * gsz:(g + 1) * gsz, :]
 
             @pl.when(t_b <= t_a + 1)
             def _():
                 off = t_a * 128
-                rel = row_of_e - off
-                m = mbuf[slot, j * 128:(j + 1) * 128, :]
-                p0 = (rows128 == rel[None, :]).astype(jnp.bfloat16)
+                p0 = one_hot([r - off for r in rels], rows128)
                 acc_ref[pl.ds(off, 128)] += jax.lax.dot_general(
                     p0, m, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
                 off2 = jnp.minimum(off + 128, seg_tile - 128)
-                rel2 = row_of_e - off2
-                p1 = (rows128 == rel2[None, :]).astype(jnp.bfloat16)
+                p1 = one_hot([r - off2 for r in rels], rows128)
                 # off2 == off when t_a is the last slice: rel2 == rel
                 # would double-count, so mask the second matmul there
                 p1 = jnp.where(off2 > off, p1, jnp.bfloat16(0.0))
@@ -147,10 +157,9 @@ def _segsum_kernel(offs_ref, seg_hbm, msgs_hbm, out_ref,
 
             @pl.when(t_b > t_a + 1)
             def _():
-                p = (rows_full == row_of_e[None, :]).astype(jnp.bfloat16)
+                p = one_hot(rels, rows_full)
                 acc_ref[:] += jax.lax.dot_general(
-                    p, mbuf[slot, j * 128:(j + 1) * 128, :],
-                    (((1,), (0,)), ((), ())),
+                    p, m, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
         return 0
 
@@ -167,8 +176,9 @@ def pallas_sorted_segment_sum(
     seg: jnp.ndarray,    # [E] i32 sorted segment ids; ids >= n_segments
                          #     (padding) are dropped
     n_segments: int,
-    seg_tile: int = SEG_TILE,
-    ce: int = CE,
+    seg_tile: int = None,
+    ce: int = None,
+    gsz: int = None,
 ) -> jnp.ndarray:
     """Segment-sum of a sorted edge stream via MXU one-hot matmuls.
 
@@ -176,6 +186,10 @@ def pallas_sorted_segment_sum(
     multiple). Messages are reduced in bf16 (f32 accumulate) — the same
     precision XLA uses for every matmul on TPU at default settings.
     """
+    seg_tile = SEG_TILE if seg_tile is None else seg_tile
+    ce = CE if ce is None else ce
+    gsz = GSZ if gsz is None else gsz
+    assert gsz % 128 == 0 and ce % gsz == 0, (ce, gsz)
     e, k = msgs.shape
     ks = ce // 128
     n_pad = ((n_segments + seg_tile - 1) // seg_tile) * seg_tile
@@ -214,7 +228,8 @@ def pallas_sorted_segment_sum(
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_segsum_kernel, seg_tile=seg_tile, ce=ce),
+        functools.partial(_segsum_kernel, seg_tile=seg_tile, ce=ce,
+                          gsz=gsz),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, LANES), jnp.float32),
     )(offs, seg2, msgs2)
