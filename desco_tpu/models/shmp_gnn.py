@@ -111,13 +111,18 @@ def init_shmp(key, cfg: SHMPConfig):
 
 def _per_type_linear(x, w, b, node_type, n_types):
     """y[i] = x[i] @ w[type(i)] + b[type(i)] — computed as all-types
-    einsum + select (MXU-friendly for small type counts)."""
+    einsum + select (MXU-friendly for small type counts).
+
+    The select is a chain of jnp.where, NOT take_along_axis: XLA lowers
+    the latter to a gather (~0.07 ms per call on the bench workload vs
+    a fused elementwise select)."""
     y_all = jnp.einsum("nd,tdh->tnh", x, w) + b[:, None, :]
     if n_types == 1:
         return y_all[0]
-    return jnp.take_along_axis(
-        y_all, node_type[None, :, None].astype(jnp.int32), axis=0
-    )[0]
+    out = y_all[0]
+    for t in range(1, n_types):
+        out = jnp.where((node_type == t)[:, None], y_all[t], out)
+    return out
 
 
 def _dropout(x, rate, rng, train):
@@ -222,7 +227,9 @@ def run_shmp_layers(
     # per-dst-type conv bias accumulation: bias_by_ntype[t_n] =
     # sum of conv biases of edge types whose dst node type is t_n
     dst_t = jnp.asarray(cfg.edge_dst_type)
-    emb = x
+    # concat-skip DEFERRED: emb = cat(x_0..x_L) built once at the end —
+    # growing the buffer per layer would copy O(L^2 * N * H) bytes
+    embs = [x]
     for l in range(cfg.layer_num):
         if rng is not None:
             rng, sub = jax.random.split(rng)
@@ -232,7 +239,11 @@ def run_shmp_layers(
         x_neigh = aggregate_fn(x, conv_w, l)
         bias_by_ntype = jax.ops.segment_sum(
             conv_b, dst_t, num_segments=cfg.n_node_types)  # [T_n, H]
-        x_neigh = x_neigh + bias_by_ntype[ntype]
+        bias_rows = bias_by_ntype[0]
+        for t in range(1, cfg.n_node_types):  # select, not gather
+            bias_rows = jnp.where((ntype == t)[:, None],
+                                  bias_by_ntype[t], bias_rows)
+        x_neigh = x_neigh + bias_rows
 
         if cfg.conv_type == "SAGE":
             upd_in = jnp.concatenate([x_neigh, x], axis=-1)
@@ -254,8 +265,8 @@ def run_shmp_layers(
         x = jax.nn.relu(x)
         x = _dropout(x, cfg.dropout, sub, train)
         x = x * nmask
-        emb = jnp.concatenate([emb, x], axis=-1)
-    return emb
+        embs.append(x)
+    return jnp.concatenate(embs, axis=-1)
 
 
 def apply_shmp_core(
