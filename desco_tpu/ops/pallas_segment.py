@@ -192,6 +192,12 @@ def pallas_sorted_segment_sum(
     assert gsz % 128 == 0 and ce % gsz == 0, (ce, gsz)
     e, k = msgs.shape
     ks = ce // 128
+    # lanes stay 128: Mosaic rejects row-slices of VMEM memrefs whose
+    # minor dim is below the 128-lane tile ("slice shape along dim 1
+    # must be aligned to tiling"), so a native 64-lane path cannot
+    # slice per-group message blocks. The 64 -> 128 pad costs ~0.04 ms
+    # per layer on the bench workload (pad_select fusion).
+    lanes = LANES
     n_pad = ((n_segments + seg_tile - 1) // seg_tile) * seg_tile
     n_tiles = n_pad // seg_tile
     bounds = jnp.arange(n_tiles + 1, dtype=jnp.int32) * seg_tile
@@ -205,10 +211,10 @@ def pallas_sorted_segment_sum(
         seg2 = jnp.concatenate(
             [seg2, jnp.full((e_pad - e,), np.int32(2 ** 30), jnp.int32)])
     seg2 = seg2.reshape(e_pad // ce, ks, 128)
-    if msgs.dtype == jnp.bfloat16 and k == LANES and e_pad == e:
+    if msgs.dtype == jnp.bfloat16 and k == lanes and e_pad == e:
         msgs2 = msgs
     else:
-        msgs2 = jnp.zeros((e_pad, LANES), jnp.bfloat16).at[:e, :k].set(
+        msgs2 = jnp.zeros((e_pad, lanes), jnp.bfloat16).at[:e, :k].set(
             msgs.astype(jnp.bfloat16))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -218,11 +224,11 @@ def pallas_sorted_segment_sum(
             pl.BlockSpec(memory_space=pltpu.ANY),   # seg (flat, HBM)
             pl.BlockSpec(memory_space=pltpu.ANY),   # msgs (HBM)
         ],
-        out_specs=pl.BlockSpec((seg_tile, LANES), lambda i, *_: (i, 0)),
+        out_specs=pl.BlockSpec((seg_tile, lanes), lambda i, *_: (i, 0)),
         scratch_shapes=[
-            pltpu.VMEM((seg_tile, LANES), jnp.float32),    # acc
+            pltpu.VMEM((seg_tile, lanes), jnp.float32),    # acc
             pltpu.VMEM((2, ks, 128), jnp.int32),           # seg chunks
-            pltpu.VMEM((2, ce, LANES), jnp.bfloat16),      # msg chunks
+            pltpu.VMEM((2, ce, lanes), jnp.bfloat16),      # msg chunks
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -231,7 +237,7 @@ def pallas_sorted_segment_sum(
         functools.partial(_segsum_kernel, seg_tile=seg_tile, ce=ce,
                           gsz=gsz),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_pad, LANES), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_pad, lanes), jnp.float32),
     )(offs, seg2, msgs2)
     return out[:n_segments, :k]
 
@@ -266,7 +272,8 @@ def _fused_legacy(x, edge_src, keys, conv_w, n_types: int, n_nodes: int):
     k = conv_w.shape[2]
     z = jnp.einsum("nh,thk->tnk", x, conv_w).reshape(n_types * n, k)
     # bf16 + lane-padded BEFORE the gather: the gather then emits the
-    # exact [E, LANES] bf16 layout the kernel DMAs, no edge-stream copy
+    # exact [E, LANES] bf16 layout the kernel DMAs (XLA sinks the pad
+    # past the gather, so gather bytes stay at k lanes)
     zp = jnp.zeros((n_types * n, LANES), jnp.bfloat16)
     zp = zp.at[:, :k].set(z.astype(jnp.bfloat16))
     dst = (keys // n_types).astype(jnp.int32)
