@@ -114,7 +114,7 @@ def _segsum_kernel(offs_ref, seg_hbm, msgs_hbm, out_ref,
         for d in get_dma(0, c0):
             d.start()
 
-    rows128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    rows256 = jax.lax.broadcasted_iota(jnp.int32, (256, 128), 0)
     rows_full = jax.lax.broadcasted_iota(jnp.int32, (seg_tile, 128), 0)
 
     def one_hot(rels, rows):
@@ -141,18 +141,12 @@ def _segsum_kernel(offs_ref, seg_hbm, msgs_hbm, out_ref,
 
             @pl.when(t_b <= t_a + 1)
             def _():
-                off = t_a * 128
-                p0 = one_hot([r - off for r in rels], rows128)
-                acc_ref[pl.ds(off, 128)] += jax.lax.dot_general(
+                # ONE [256, gsz] one-hot covering both adjacent slices
+                # (clamped so the 256-row window stays inside the tile)
+                off = jnp.minimum(t_a * 128, seg_tile - 256)
+                p0 = one_hot([r - off for r in rels], rows256)
+                acc_ref[pl.ds(off, 256)] += jax.lax.dot_general(
                     p0, m, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                off2 = jnp.minimum(off + 128, seg_tile - 128)
-                p1 = one_hot([r - off2 for r in rels], rows128)
-                # off2 == off when t_a is the last slice: rel2 == rel
-                # would double-count, so mask the second matmul there
-                p1 = jnp.where(off2 > off, p1, jnp.bfloat16(0.0))
-                acc_ref[pl.ds(off2, 128)] += jax.lax.dot_general(
-                    p1, m, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
 
             @pl.when(t_b > t_a + 1)
@@ -190,6 +184,7 @@ def pallas_sorted_segment_sum(
     ce = CE if ce is None else ce
     gsz = GSZ if gsz is None else gsz
     assert gsz % 128 == 0 and ce % gsz == 0, (ce, gsz)
+    assert seg_tile >= 256, seg_tile  # fast path uses a 256-row window
     e, k = msgs.shape
     ks = ce // 128
     # lanes stay 128: Mosaic rejects row-slices of VMEM memrefs whose
