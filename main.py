@@ -17,6 +17,7 @@ import datetime
 import json
 import os
 import sys
+import time
 
 import numpy as np
 
@@ -38,6 +39,23 @@ from desco_tpu.pipeline import (
 from desco_tpu.train.checkpoint import load_checkpoint
 from desco_tpu.train.loop import predict_gossip_counts
 from desco_tpu.models.gossip import gate_values, init_gossip_model
+
+
+class _phase:
+    """Wall-clock phase timer: serving runs are minutes-scale and the
+    cost split (host packing vs device predict vs VF2 verify) is the
+    first question when one is slow."""
+
+    def __init__(self, name: str):
+        self.name = name
+
+    def __enter__(self):
+        self.t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        print(f"[timing] {self.name}: "
+              f"{time.perf_counter() - self.t0:.1f}s", flush=True)
 
 
 def main(argv=None) -> int:
@@ -70,9 +88,11 @@ def main(argv=None) -> int:
             cfg, train_graphs, args.train_dataset + "_train")
         val_stage = prepare_stage_data(
             cfg, val_graphs, args.valid_dataset + "_val")
-    test_graphs = load_data(args.test_dataset, cfg.data_root,
-                            with_labels=cfg.use_node_feature)
-    test_stage = prepare_stage_data(cfg, test_graphs, args.test_dataset)
+    with _phase(f"load+stage {args.test_dataset}"):
+        test_graphs = load_data(args.test_dataset, cfg.data_root,
+                                with_labels=cfg.use_node_feature)
+        test_stage = prepare_stage_data(cfg, test_graphs,
+                                        args.test_dataset)
 
     # ---------------------------------------------- neighborhood stage
     import jax
@@ -94,9 +114,10 @@ def main(argv=None) -> int:
         print(f"loaded neighborhood model from {ckpt}")
 
     # stage-1 predictions (verified rows carry EXACT counts)
-    counts_test, verified_rows = neighborhood_predictions(
-        neigh_params, tgt_cfg, qry_cfg, qb, test_stage, cfg,
-        return_verified=True)
+    with _phase("stage-1 predict+verify (test)"):
+        counts_test, verified_rows = neighborhood_predictions(
+            neigh_params, tgt_cfg, qry_cfg, qb, test_stage, cfg,
+            return_verified=True)
     counts = {"test": counts_test}
     if train_needed:
         counts["train"] = neighborhood_predictions(
@@ -108,8 +129,9 @@ def main(argv=None) -> int:
     skip_gossip = not (args.train_gossip or args.test_gossip)
     gossip_node_counts = None
     if not skip_gossip:
-        test_gbatches = prepare_gossip_batches(cfg, test_stage,
-                                               counts["test"])
+        with _phase("gossip batch prep (test)"):
+            test_gbatches = prepare_gossip_batches(cfg, test_stage,
+                                                   counts["test"])
         if args.train_gossip:
             print("training gossip model...")
             train_gb = prepare_gossip_batches(cfg, train_stage,
@@ -134,8 +156,9 @@ def main(argv=None) -> int:
             query_embs = neigh_mod.embed_queries(neigh_params, qry_cfg, qb)
             print(f"loaded gossip model from {ckpt}")
 
-        gossip_node_counts = predict_gossip_counts(
-            gossip_params, query_embs, test_gbatches)
+        with _phase("gossip predict (test)"):
+            gossip_node_counts = predict_gossip_counts(
+                gossip_params, query_embs, test_gbatches)
         gossip_node_counts = apply_verified_override(
             gossip_node_counts, counts["test"], verified_rows,
             test_stage.nindex)
