@@ -154,18 +154,24 @@ class StageData:
 
 def prepare_stage_data(
     cfg: PipelineConfig, graphs: List[Graph], name: str,
-    capacities=None,
+    capacities=None, need_truth: bool = True,
 ) -> StageData:
+    """``need_truth=False`` skips the exact VF2 ground truth (pure
+    serving: no labels exist and none are needed — sample/gossip label
+    columns are zeros)."""
     wl = Workload(graphs, root=os.path.join(cfg.data_root, name), name=name)
     if cfg.use_node_feature:
         queries = pipeline_queries(cfg)
-        truth = wl.compute_groundtruth_labeled(
-            queries, num_workers=cfg.num_workers)
         n_q = len(queries)
+        truth = (wl.compute_groundtruth_labeled(
+            queries, num_workers=cfg.num_workers) if need_truth
+            else np.zeros((wl.total_nodes, n_q), np.float64))
     else:
-        truth = wl.compute_groundtruth(cfg.query_ids,
-                                       num_workers=cfg.num_workers)
         n_q = len(cfg.query_ids)
+        truth = (wl.compute_groundtruth(cfg.query_ids,
+                                        num_workers=cfg.num_workers)
+                 if need_truth
+                 else np.zeros((wl.total_nodes, n_q), np.float64))
     samples, nindex = wl.neighborhood_samples(
         cfg.depth, cfg.query_ids, use_tconv=cfg.use_tconv,
         use_hetero=cfg.use_hetero, truth=truth,
