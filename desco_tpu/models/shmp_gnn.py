@@ -58,6 +58,8 @@ class SHMPConfig:
     # 'aggregate_first' scatters into [N*T,H] then one [N,T*H]@[T*H,K]
     # matmul; 'transform_first' applies W[t] to all nodes then scatters
     # into [N,K] (1/T the scatter bytes; mathematically identical);
+    # 'cumsum' replaces the scatter with a prefix-sum + boundary gather
+    # (ops/segment.py — correct everywhere, slower than pallas on TPU);
     # 'pallas' runs the fused TPU kernel (ops/pallas_segment.py): MXU
     # one-hot matmuls over (dst,type)-sorted edge tiles, no [N*T,H]
     # scatter buffer. Requires n_cap % 128 == 0 (auto_capacities
