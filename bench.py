@@ -61,9 +61,17 @@ def main() -> int:
     if agg_mode == "auto":
         agg_mode = default_agg_mode()
 
+    import jax.numpy as jnp
+
+    # DESCO_DTYPE=bfloat16 benches the bf16 serving tower (--serve_bf16);
+    # the recorded metric stays the f32 default for baseline continuity
+    dtype = {"float32": jnp.float32,
+             "bfloat16": jnp.bfloat16}[os.environ.get("DESCO_DTYPE",
+                                                      "float32")]
     batch, qb = build_workload()
     tgt_cfg = neighborhood_target_config(layer_num=8, hidden_dim=64,
-                                         output_dim=64, agg_mode=agg_mode)
+                                         output_dim=64, agg_mode=agg_mode,
+                                         dtype=dtype)
     qry_cfg = query_config(layer_num=8, hidden_dim=64, output_dim=64)
     params = neigh_mod.init_neighborhood_model(jax.random.PRNGKey(0),
                                                tgt_cfg, qry_cfg)

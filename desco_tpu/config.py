@@ -41,6 +41,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["auto", "pallas", "aggregate_first",
                             "transform_first", "cumsum"],
                    help="typed-aggregation kernel (auto: Pallas on TPU)")
+    n.add_argument("--serve_bf16", action=argparse.BooleanOptionalAction,
+                   default=False,
+                   help="bfloat16 target tower at serving time (training "
+                        "stays f32; <~1%% count error)")
 
     g = p.add_argument_group("gossip counting model arguments")
     g.add_argument("--gossip_conv_type", type=str, default="GOSSIP")
@@ -100,6 +104,7 @@ def to_pipeline_config(args: argparse.Namespace) -> PipelineConfig:
         neigh_lr=args.neigh_lr,
         neigh_weight_decay=args.neigh_weight_decay,
         agg_mode=args.agg_mode,
+        serve_bf16=args.serve_bf16,
         gossip_layer_num=args.gossip_layer_num,
         gossip_hidden_dim=args.gossip_hidden_dim,
         gossip_dropout=args.gossip_dropout,

@@ -238,7 +238,10 @@ def run_shmp_layers(
         else:
             sub = None
         conv_w, conv_b = params["conv"][0][l], params["conv"][1][l]
-        x_neigh = aggregate_fn(x, conv_w, l)
+        # aggregation providers may accumulate/return f32 (the Pallas
+        # kernel does); fold back to the tower dtype so bf16 towers stay
+        # bf16 through the concat/update chain
+        x_neigh = aggregate_fn(x, conv_w, l).astype(cfg.dtype)
         bias_by_ntype = jax.ops.segment_sum(
             conv_b, dst_t, num_segments=cfg.n_node_types)  # [T_n, H]
         bias_rows = bias_by_ntype[0]
@@ -271,12 +274,28 @@ def run_shmp_layers(
     return jnp.concatenate(embs, axis=-1)
 
 
+def cast_params(params, dtype):
+    """Cast every f32 leaf to ``dtype`` (no-op for f32). Weights are tiny
+    next to activations, so the per-call cast is free; it keeps ONE
+    stored f32 param tree serving both precisions."""
+    if dtype == jnp.float32:
+        return params
+    return jax.tree_util.tree_map(
+        lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, params)
+
+
 def apply_shmp_core(
     params, cfg: SHMPConfig, batch: PackedGraphs,
     train: bool = False, rng=None,
 ) -> jnp.ndarray:
     """BaseGNNCore.forward (gnn_model.py:230-277): returns [N, post_input_dim]
-    concat-skip embeddings with padded rows zeroed."""
+    concat-skip embeddings with padded rows zeroed.
+
+    With ``cfg.dtype=bfloat16`` the whole tower (params + activations)
+    runs in bf16 — matmuls accumulate f32 on the MXU either way, so this
+    halves HBM traffic of the elementwise fusions at ~8-bit mantissa
+    cost; the count head stays f32 (it lives outside this module)."""
+    params = cast_params(params, cfg.dtype)
     nmask = batch.node_mask[:, None].astype(cfg.dtype)
     ntype = batch.node_type
 
@@ -301,6 +320,7 @@ def apply_shmp(
     """BaseGNN.forward (gnn_model.py:58-109): core -> anchor MLP on
     canonical nodes -> global add pool -> post MLP. Returns [G, out]
     (or [N, out] per-node when cfg.per_node_output, the gossip path)."""
+    params = cast_params(params, cfg.dtype)
     emb = apply_shmp_core(params, cfg, batch, train=train, rng=rng)
 
     if cfg.use_anchor:

@@ -65,6 +65,11 @@ class PipelineConfig:
     # typed-aggregation kernel for the neighborhood target tower:
     # 'auto' -> fused Pallas kernel on TPU, XLA path on CPU
     agg_mode: str = "auto"
+    # run the TARGET tower in bfloat16 at SERVING time only (training
+    # and the hoisted query tower stay f32; matmuls accumulate f32 on
+    # the MXU regardless) — halves elementwise-fusion HBM traffic for
+    # <~1% count error (tests/test_models.py::test_bf16_tower_parity)
+    serve_bf16: bool = False
     # clamp de-logged stage-1 counts to the exact combinatorial
     # neighborhood bound (truth/bounds.py) — kills the rare 2^pred
     # de-log outliers without touching training semantics
@@ -209,6 +214,10 @@ def neighborhood_predictions(params, tgt_cfg, qry_cfg, query_batch,
     With ``return_verified``, also returns the neighborhood row indices
     whose counts are now EXACT (so downstream stages can prefer them
     over any learned residual)."""
+    if cfg is not None and cfg.serve_bf16:
+        import jax.numpy as jnp
+
+        tgt_cfg = dataclasses.replace(tgt_cfg, dtype=jnp.bfloat16)
     counts = train_loop.predict_neighborhood_counts(
         params, tgt_cfg, qry_cfg, query_batch, stage.batches)
     verified = np.zeros(0, np.int64)

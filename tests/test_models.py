@@ -385,3 +385,29 @@ def test_gat_conv_matches_numpy_softmax_oracle(rng):
     x1 = np.maximum(agg + bias_by_nt[ntype], 0.0) * nmask[:, None]
     ref = np.concatenate([h, x1], axis=-1)
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_bf16_tower_parity(rng):
+    """cfg.dtype=bfloat16 runs the whole target tower in bf16 (the TPU
+    serving fast path); predictions must track the f32 tower within bf16
+    mantissa error in log2-count space."""
+    import dataclasses
+
+    tgt_cfg = neighborhood_target_config(layer_num=4, hidden_dim=16,
+                                         output_dim=16)
+    qry_cfg = query_config(layer_num=2, hidden_dim=16, output_dim=16)
+    qs = [query_sample(q) for q in gen_queries(gen_query_ids([3]))]
+    [qb] = pack_samples(qs, *auto_capacities(qs, g_cap=len(qs)))
+    samples = make_neigh_samples(rng, qdim=2)
+    [b] = pack_samples(samples, *auto_capacities(samples, g_cap=len(samples)),
+                       n_queries=2)
+    params = init_neighborhood_model(jax.random.PRNGKey(0), tgt_cfg, qry_cfg)
+
+    from desco_tpu.models.neighborhood import forward_counts
+
+    p32 = np.asarray(forward_counts(params, tgt_cfg, qry_cfg, b, qb))
+    cfg_bf = dataclasses.replace(tgt_cfg, dtype=jnp.bfloat16)
+    pbf = np.asarray(forward_counts(params, cfg_bf, qry_cfg, b, qb))
+    m = np.asarray(b.graph_mask) > 0
+    assert pbf.dtype == np.float32  # head stays f32
+    np.testing.assert_allclose(pbf[m], p32[m], atol=0.05)
