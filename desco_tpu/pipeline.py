@@ -222,11 +222,10 @@ def neighborhood_predictions(params, tgt_cfg, qry_cfg, query_batch,
         params, tgt_cfg, qry_cfg, query_batch, stage.batches)
     verified = np.zeros(0, np.int64)
     if cfg is not None and cfg.clamp_counts:
-        from .truth.bounds import clamp_counts, neighborhood_count_bounds
+        from .truth.bounds import clamp_counts
 
-        ubs = neighborhood_count_bounds(
-            stage.batches, pipeline_queries(cfg),
-            canonical_type=tgt_cfg.canonical_type)
+        ubs = stage_bounds(stage, cfg,
+                           canonical_type=tgt_cfg.canonical_type)
         counts = clamp_counts(counts, ubs)
     if cfg is not None and cfg.verify_budget > 0:
         counts, verified = verify_tail_counts(counts, stage, cfg)
@@ -304,6 +303,46 @@ def verify_tail_counts(counts: np.ndarray, stage: StageData,
     for nb, i, cc in zip(nbs, rows, per_nb):
         counts[i] = cc[nb.canonical]
     return counts, row_arr
+
+
+def stage_bounds(stage: StageData, cfg: PipelineConfig,
+                 canonical_type: int = 1) -> np.ndarray:
+    """(#neighborhoods, Q) combinatorial upper bounds for a stage,
+    computed once and memoized on the StageData (both the stage-1 clamp
+    and the stage-3 node clamp consume the same bounds)."""
+    cached = getattr(stage, "_bounds_cache", None)
+    if cached is None:
+        from .truth.bounds import neighborhood_count_bounds
+
+        cached = neighborhood_count_bounds(
+            stage.batches, pipeline_queries(cfg),
+            canonical_type=canonical_type)
+        object.__setattr__(stage, "_bounds_cache", cached)
+    return cached
+
+
+def clamp_node_counts(node_counts: np.ndarray, stage: StageData,
+                      cfg: PipelineConfig,
+                      canonical_type: int = 1) -> np.ndarray:
+    """Clamp per-node (canonical) counts — e.g. the gossip-refined
+    stage-3 output — to [0, UB(v)] where UB(v) is the combinatorial
+    bound of v's canonical neighborhood (truth/bounds.py).
+
+    Every occurrence attributed to v lies inside v's canonical ball, so
+    the stage-1 bound holds verbatim for any later refinement; nodes
+    whose neighborhood was dropped as edgeless can host no occurrence at
+    all (counts exactly 0). This is the stage-3 counterpart of
+    ``clamp_counts`` and uses only the input graph. On the full_run4
+    outputs it changes metrics by <0.1% (gossip's residual error sits
+    inside the bounds) — it exists to make the OOD 2^pred failure mode
+    impossible at stage 3 just as clamp_counts does at stage 1.
+    Returns a copy."""
+    ubs = stage_bounds(stage, cfg, canonical_type=canonical_type)
+    out = np.zeros_like(node_counts)
+    node_rows = np.nonzero(np.asarray(stage.nindex.indicator))[0]
+    out[node_rows] = np.clip(node_counts[node_rows], 0.0,
+                             ubs.astype(node_counts.dtype))
+    return out
 
 
 def apply_verified_override(gossip_node_counts: np.ndarray,

@@ -28,6 +28,7 @@ from desco_tpu.models.shmp_gnn import SHMPConfig
 from desco_tpu.pipeline import (
     apply_verified_override,
     build_query_batch,
+    clamp_node_counts,
     evaluate_graphlet_counts,
     model_configs,
     neighborhood_predictions,
@@ -159,6 +160,13 @@ def main(argv=None) -> int:
         with _phase("gossip predict (test)"):
             gossip_node_counts = predict_gossip_counts(
                 gossip_params, query_embs, test_gbatches)
+        if cfg.clamp_counts:
+            # same combinatorial bound as stage 1, applied to the
+            # refined per-node counts (gossip residuals can overshoot
+            # on OOD tails); verified-exact rows are restored after
+            gossip_node_counts = clamp_node_counts(
+                gossip_node_counts, test_stage, cfg,
+                canonical_type=tgt_cfg.canonical_type)
         gossip_node_counts = apply_verified_override(
             gossip_node_counts, counts["test"], verified_rows,
             test_stage.nindex)

@@ -156,3 +156,32 @@ def test_apply_verified_override_mapping(tiny_cfg, tiny_data):
     np.testing.assert_array_equal(out[mask], gossip[mask])
     # input untouched (returns a copy)
     assert not np.array_equal(out, gossip)
+
+
+def test_clamp_node_counts(tiny_cfg, tiny_data):
+    """Stage-3 clamp: per-node counts fold into [0, UB(v)] of v's
+    canonical neighborhood; truth always survives (UB is a true upper
+    bound); dropped (edgeless) nodes clamp to exactly 0."""
+    from desco_tpu.pipeline import clamp_node_counts
+
+    _, _, test = tiny_data
+    total = test.workload.total_nodes
+    q = test.truth.shape[1]
+    rng = np.random.default_rng(2)
+    big = rng.random((total, q)).astype(np.float32) * 1e6  # huge overshoot
+    out = clamp_node_counts(big, test, tiny_cfg)
+    # truth itself passes the clamp unchanged (bound correctness)
+    truth_out = clamp_node_counts(np.asarray(test.truth, np.float32),
+                                  test, tiny_cfg)
+    np.testing.assert_allclose(truth_out, test.truth, rtol=1e-5)
+    # dropped nodes -> exactly 0; kept nodes <= their UB (== truth_out's
+    # bound, so out <= max possible)
+    node_rows = np.nonzero(np.asarray(test.nindex.indicator))[0]
+    mask = np.ones(total, bool)
+    mask[node_rows] = False
+    assert np.all(out[mask] == 0.0)
+    # clamped output never below 0, never above the bound that admitted
+    # the truth
+    neg = clamp_node_counts(-np.ones((total, q), np.float32), test,
+                            tiny_cfg)
+    assert np.all(neg >= 0.0)
