@@ -187,6 +187,11 @@ class Workload:
                                        use_node_feat)
         if use_cache and os.path.exists(cache):
             samples, nindex = self._load_neigh_cache(cache)
+        elif (use_hetero and use_tconv and truth_native.native_available()):
+            samples, nindex = self._native_fast_samples(
+                depth, use_node_feat, num_workers=num_workers)
+            if use_cache:
+                self._save_neigh_cache(cache, samples, nindex)
         else:
             neighs, nindex = self.extract_neighborhoods(depth)
             samples = []
@@ -205,28 +210,82 @@ class Workload:
             s.y = truth[self.node_offsets[gid] + vid].astype(np.float32)
         return samples, nindex
 
+    def _native_fast_samples(self, depth: int, use_node_feat: bool,
+                             num_workers: Optional[int] = None):
+        """6-type tconv samples via ONE fused C call per graph
+        (native prepare_samples: partition + induced subgraph + triangle
+        typing + directed expansion), thread-parallel across graphs (the
+        C call releases the GIL). Replaces the per-neighborhood Python
+        glue of the generic path — identical output up to edge order
+        (the packer re-sorts edges by (dst, type) anyway)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        workers = num_workers or os.cpu_count() or 1
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            per_graph = list(ex.map(
+                lambda g: truth_native.prepare_samples_native(g, depth),
+                self.graphs))
+        samples, index, indicator = [], [], []
+        for gid, (g, (sizes, esizes, nodes, src, dst, et)) in enumerate(
+                zip(self.graphs, per_graph)):
+            keep = sizes > 0
+            indicator.append(keep)
+            vids = np.nonzero(keep)[0]
+            index.extend((gid, int(v)) for v in vids)
+            no = np.concatenate([[0], np.cumsum(sizes[keep])])
+            eo = np.concatenate([[0], np.cumsum(esizes[keep])])
+            if use_node_feat:
+                x_flat = g.node_feat[nodes].astype(np.float32)
+            else:
+                x_flat = np.zeros((len(nodes), 1), np.float32)
+            nt_flat = np.zeros(len(nodes), np.int32)
+            nt_flat[no[1:] - 1] = 1  # canonical node is last per slice
+            for i in range(len(vids)):
+                samples.append(GraphSample(
+                    node_type=nt_flat[no[i]:no[i + 1]],
+                    x=x_flat[no[i]:no[i + 1]],
+                    edge_src=src[eo[i]:eo[i + 1]],
+                    edge_dst=dst[eo[i]:eo[i + 1]],
+                    edge_type=et[eo[i]:eo[i + 1]],
+                ))
+        return samples, NeighborhoodIndex(
+            np.array(index, np.int64).reshape(-1, 2),
+            np.concatenate(indicator) if indicator
+            else np.zeros(0, bool))
+
     def _save_neigh_cache(self, path, samples, nindex) -> None:
         # a directory of raw .npy files: loads back as file-backed memmaps
         # (anonymous memory on this host faults in at ~9MB/s; file pages
         # come from the page cache at full speed)
+        from ..utils.memory import prefault
+
         os.makedirs(path, exist_ok=True)
+
+        def cat(parts, dtype, width=None):
+            # concatenate into a PREFAULTED buffer: np.concatenate's own
+            # fresh allocation would fault in at ~9MB/s on this host
+            if not parts:
+                return (np.zeros(0, dtype) if width is None
+                        else np.zeros((0, width), dtype))
+            total = sum(len(p) for p in parts)
+            shape = (total,) if width is None else (total, width)
+            out = np.empty(shape, dtype)
+            prefault(out)
+            off = 0
+            for p in parts:
+                out[off:off + len(p)] = p
+                off += len(p)
+            return out
+
         fields = {
             "n_nodes": np.array([s.n_nodes for s in samples], np.int32),
             "n_edges": np.array([s.n_edges for s in samples], np.int32),
-            "node_type": np.concatenate(
-                [s.node_type for s in samples]) if samples else
-            np.zeros(0, np.int32),
-            "x": np.concatenate([s.x for s in samples]) if samples else
-            np.zeros((0, 1), np.float32),
-            "edge_src": np.concatenate(
-                [s.edge_src for s in samples]) if samples else
-            np.zeros(0, np.int32),
-            "edge_dst": np.concatenate(
-                [s.edge_dst for s in samples]) if samples else
-            np.zeros(0, np.int32),
-            "edge_type": np.concatenate(
-                [s.edge_type for s in samples]) if samples else
-            np.zeros(0, np.int32),
+            "node_type": cat([s.node_type for s in samples], np.int32),
+            "x": cat([s.x for s in samples], np.float32,
+                     width=samples[0].x.shape[1] if samples else 1),
+            "edge_src": cat([s.edge_src for s in samples], np.int32),
+            "edge_dst": cat([s.edge_dst for s in samples], np.int32),
+            "edge_type": cat([s.edge_type for s in samples], np.int32),
             "index": nindex.index, "indicator": nindex.indicator,
         }
         for k, v in fields.items():

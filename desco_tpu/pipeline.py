@@ -177,10 +177,12 @@ def prepare_stage_data(
                                         num_workers=cfg.num_workers)
                  if need_truth
                  else np.zeros((wl.total_nodes, n_q), np.float64))
+    # pure serving sees each graph once: writing the sample cache would
+    # only cost disk + lazy-paging time
     samples, nindex = wl.neighborhood_samples(
         cfg.depth, cfg.query_ids, use_tconv=cfg.use_tconv,
         use_hetero=cfg.use_hetero, truth=truth,
-        use_node_feat=cfg.use_node_feature)
+        use_node_feat=cfg.use_node_feature, use_cache=need_truth)
     caps = capacities or auto_capacities(samples, g_cap=cfg.neigh_batch_size)
     batches = pack_samples(samples, *caps, n_queries=n_q)
     return StageData(wl, samples, nindex, truth, batches)

@@ -67,6 +67,14 @@ def load_library() -> Optional[ctypes.CDLL]:
             ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int),
             ctypes.POINTER(ctypes.c_ubyte),
         ]
+        lib.prepare_samples.restype = ctypes.c_longlong
+        lib.prepare_samples.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_longlong),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ]
         assert lib.desco_host_abi_version() == 1
         _lib = lib
     except Exception:
@@ -168,6 +176,39 @@ def extract_neighborhoods_native(g: Graph, depth: int):
         sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
     return sizes, flat
+
+
+def prepare_samples_native(g: Graph, depth: int):
+    """Fused canonical partition + SHMP tconv sample prep (one C call
+    per graph; see native/desco_host.cpp prepare_samples). Returns
+    (sizes, esizes, flat_nodes, flat_src, flat_dst, flat_etype) —
+    per-neighborhood slices are delimited by cumsum(sizes)/cumsum(esizes)
+    over the surviving (sizes > 0) rows, in node-id order."""
+    lib = load_library()
+    e, ep = _edges_ptr(g)
+    sizes = np.zeros(g.n_nodes, dtype=np.int32)
+    esizes = np.zeros(g.n_nodes, dtype=np.int64)
+    null_i = ctypes.POINTER(ctypes.c_int)()
+    total_n = lib.prepare_samples(
+        g.n_nodes, g.n_edges, ep, depth,
+        sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        esizes.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        null_i, null_i, null_i, null_i)
+    total_e = int(esizes.sum())
+    nodes = np.zeros(int(total_n), dtype=np.int32)
+    src = np.zeros(total_e, dtype=np.int32)
+    dst = np.zeros(total_e, dtype=np.int32)
+    etype = np.zeros(total_e, dtype=np.int32)
+
+    def ip(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int))
+
+    lib.prepare_samples(
+        g.n_nodes, g.n_edges, ep, depth,
+        sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        esizes.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        ip(nodes), ip(src), ip(dst), ip(etype))
+    return sizes, esizes, nodes, src, dst, etype
 
 
 def triangle_mask_native(g: Graph) -> np.ndarray:

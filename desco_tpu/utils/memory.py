@@ -16,7 +16,8 @@ import numpy as np
 
 _PAGE = 4096
 _THREADS = 32
-_MIN_BYTES = 8 << 20  # don't bother below 8MB
+_MIN_BYTES = 1 << 20  # don't bother below 1MB (a skipped 4MB array
+#                       still costs ~0.5s of serial faulting in fill())
 
 
 def prefault(*arrays: np.ndarray, threads: int = _THREADS) -> None:

@@ -303,6 +303,120 @@ long long extract_neighborhoods(int n, int m, const int* edges, int depth,
   return off;
 }
 
+// Fused canonical-partition + SHMP sample preparation: one call per
+// graph replaces, per neighborhood, the Python chain
+// induced_subgraph -> triangle_edge_mask -> _directed -> edge typing
+// (batch/build.py:63-110, graph/triangles.py) that dominates serving
+// host prep. For every surviving neighborhood of v it emits
+//   * its node list (ascending original ids; v, the canonical node,
+//     is always last — it is the max id of the <=v-filtered ball),
+//   * the DIRECTED typed edge stream in local indices: all forward
+//     (u->w, u<w) slots first, then all reversed — the _directed
+//     layout — with the 6-type tconv table of build.py:
+//     src-canonical ? (tri?4:5) : dst-canonical ? (tri?2:3) : (tri?0:1),
+//     triangles meaning a common neighbor INSIDE the neighborhood.
+// Pass 1 (out_nodes == nullptr): fills sizes[v] (#nodes, 0 = dropped)
+// and esizes[v] (#directed edges), returns total node count.
+// Pass 2: also fills out_nodes / out_src / out_dst / out_etype
+// (lengths sum(sizes) and sum(esizes)).
+long long prepare_samples(int n, int m, const int* edges, int depth,
+                          int* sizes, long long* esizes,
+                          int* out_nodes, int* out_src, int* out_dst,
+                          int* out_etype) {
+  Csr csr(n, m, edges);
+  std::vector<int> seen(n, -1), fr, nf, ball;
+  std::vector<int> keep_stamp(n, -1), comp_stamp(n, -1);
+  std::vector<int> relabel(n, 0);
+  std::vector<int> comp_stack, local_nodes;
+  long long noff = 0, eoff = 0;
+  for (int v = 0; v < n; ++v) {
+    canonical_ball(csr, n, v, depth, seen, v, fr, nf, ball);
+    for (int u : ball)
+      if (u <= v) keep_stamp[u] = v;
+    comp_stack.clear();
+    comp_stack.push_back(v);
+    comp_stamp[v] = v;
+    int comp_size = 1;
+    long long comp_edges = 0;
+    while (!comp_stack.empty()) {
+      int u = comp_stack.back();
+      comp_stack.pop_back();
+      for (const int* p = csr.begin(u); p != csr.end(u); ++p) {
+        int w = *p;
+        if (keep_stamp[w] == v) {
+          ++comp_edges;  // directed: each undirected edge seen twice
+          if (comp_stamp[w] != v) {
+            comp_stamp[w] = v;
+            ++comp_size;
+            comp_stack.push_back(w);
+          }
+        }
+      }
+    }
+    if (comp_edges == 0) {
+      sizes[v] = 0;
+      esizes[v] = 0;
+      continue;
+    }
+    sizes[v] = comp_size;
+    esizes[v] = comp_edges;
+    if (!out_nodes) {
+      noff += comp_size;
+      continue;
+    }
+    local_nodes.clear();
+    for (int u = 0; u <= v; ++u)
+      if (comp_stamp[u] == v) {
+        relabel[u] = static_cast<int>(local_nodes.size());
+        out_nodes[noff + local_nodes.size()] = u;
+        local_nodes.push_back(u);
+      }
+    noff += comp_size;
+    const int canon = comp_size - 1;
+    const long long mu = comp_edges / 2;  // undirected count
+    long long k = 0;
+    for (int u : local_nodes) {
+      for (const int* p = csr.begin(u); p != csr.end(u); ++p) {
+        int w = *p;
+        if (w <= u || comp_stamp[w] != v) continue;
+        // triangle iff a common neighbor lies inside the component
+        unsigned char tri = 0;
+        const int* a = csr.begin(u);
+        const int* ae = csr.end(u);
+        const int* b = csr.begin(w);
+        const int* be = csr.end(w);
+        while (a != ae && b != be) {
+          if (*a < *b) {
+            ++a;
+          } else if (*b < *a) {
+            ++b;
+          } else {
+            if (comp_stamp[*a] == v) { tri = 1; break; }
+            ++a;
+            ++b;
+          }
+        }
+        const int lu = relabel[u], lw = relabel[w];
+        const int t_fwd = (lu == canon) ? (tri ? 4 : 5)
+                          : (lw == canon) ? (tri ? 2 : 3)
+                                          : (tri ? 0 : 1);
+        const int t_rev = (lw == canon) ? (tri ? 4 : 5)
+                          : (lu == canon) ? (tri ? 2 : 3)
+                                          : (tri ? 0 : 1);
+        out_src[eoff + k] = lu;
+        out_dst[eoff + k] = lw;
+        out_etype[eoff + k] = t_fwd;
+        out_src[eoff + mu + k] = lw;
+        out_dst[eoff + mu + k] = lu;
+        out_etype[eoff + mu + k] = t_rev;
+        ++k;
+      }
+    }
+    eoff += comp_edges;
+  }
+  return noff;
+}
+
 // Per-undirected-edge triangle flag: out[e] = 1 iff the edge closes >= 1
 // triangle.
 void triangle_mask(int n, int m, const int* edges, unsigned char* out) {

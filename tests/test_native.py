@@ -82,3 +82,32 @@ def test_triangle_mask_native(rng):
         g = random_graph(rng, 25, 0.2)
         np.testing.assert_array_equal(
             triangle_mask_native(g), triangle_edge_mask(g))
+
+
+def test_prepare_samples_native_parity(rng):
+    """Fused native sample prep == the Python chain (extract ->
+    induced_subgraph -> triangle typing -> directed expansion) for node
+    lists exactly and edges as (src, dst, type) multisets (the packer
+    re-sorts edges by (dst, type) downstream)."""
+    from desco_tpu.batch.build import neighborhood_sample
+    from desco_tpu.truth.native import prepare_samples_native
+
+    for depth in (2, 4):
+        for trial in range(4):
+            g = random_graph(rng, 30, 0.12)
+            sizes, esizes, nodes, src, dst, et = prepare_samples_native(
+                g, depth)
+            neighs, index, indicator = extract_all_neighborhoods(
+                [g], depth=depth)
+            np.testing.assert_array_equal(sizes > 0, indicator)
+            no = np.concatenate([[0], np.cumsum(sizes[sizes > 0])])
+            eo = np.concatenate([[0], np.cumsum(esizes[sizes > 0])])
+            for i, nb in enumerate(neighs):
+                s = neighborhood_sample(nb)
+                np.testing.assert_array_equal(nodes[no[i]:no[i + 1]],
+                                              nb.nodes)
+                a = np.stack([s.edge_src, s.edge_dst, s.edge_type], 1)
+                b = np.stack([src[eo[i]:eo[i + 1]], dst[eo[i]:eo[i + 1]],
+                              et[eo[i]:eo[i + 1]]], 1)
+                np.testing.assert_array_equal(a[np.lexsort(a.T)],
+                                              b[np.lexsort(b.T)])
