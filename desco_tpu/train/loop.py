@@ -27,6 +27,7 @@ plateau decays never recompile.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from functools import partial
 from typing import Callable, List, Optional
@@ -282,16 +283,28 @@ def train_neighborhood(
         ckpt_config=ckpt_config, mesh=mesh, **kw)
 
 
+@functools.lru_cache(maxsize=None)
+def _jit_embed_queries(qry_cfg):
+    return jax.jit(lambda p, qb: neigh_mod.embed_queries(p, qry_cfg, qb))
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_predict_from_embs(tgt_cfg):
+    return jax.jit(lambda p, b, eq: neigh_mod.predict_counts_from_embs(
+        p, tgt_cfg, b, eq))
+
+
 def predict_neighborhood_counts(params, tgt_cfg, qry_cfg, query_batch,
                                 batches: List[PackedGraphs]) -> np.ndarray:
     # python loop over device batches (lax.map is a scan: pathologically
     # slow on this stack); the query tower runs ONCE — the query set is
-    # static across batches (reference set_query_emb semantics)
+    # static across batches (reference set_query_emb semantics). The
+    # jitted callables are memoized per config: a fresh jit(lambda)
+    # per call would RETRACE the 8-layer model every call (~5s of pure
+    # tracing per serving request)
     stacked = jax.device_put(stack_batches(batches))
-    emb_q = jax.jit(lambda p, qb: neigh_mod.embed_queries(
-        p, qry_cfg, qb))(params, jax.device_put(query_batch))
-    fn = jax.jit(lambda p, b, eq: neigh_mod.predict_counts_from_embs(
-        p, tgt_cfg, b, eq))
+    emb_q = _jit_embed_queries(qry_cfg)(params, jax.device_put(query_batch))
+    fn = _jit_predict_from_embs(tgt_cfg)
     out = []
     for bi, b in enumerate(batches):
         dev_b = jax.tree_util.tree_map(lambda x, i=bi: x[i], stacked)
@@ -364,15 +377,20 @@ def train_gossip(
         ckpt_config=ckpt_config, mesh=mesh, **kw)
 
 
+@functools.lru_cache(maxsize=None)
+def _jit_gossip_predict():
+    return jax.jit(gossip_mod.gossip_predict)
+
+
 def predict_gossip_counts(params, query_embs,
                           batches: List[PackedGraphs]) -> np.ndarray:
     """(#total_nodes, Q) refined per-node counts in node order."""
     stacked = jax.device_put(stack_batches(batches))
-    fn = jax.jit(lambda p, b: gossip_mod.gossip_predict(p, b, query_embs))
+    fn = _jit_gossip_predict()
     out = []
     for bi, b in enumerate(batches):
         dev_b = jax.tree_util.tree_map(lambda x, i=bi: x[i], stacked)
-        preds = np.asarray(fn(params, dev_b))
+        preds = np.asarray(fn(params, dev_b, query_embs))
         valid = np.asarray(b.node_mask) > 0
         out.append(preds[valid])
     return np.concatenate(out, axis=0)
