@@ -301,8 +301,11 @@ def predict_neighborhood_counts(params, tgt_cfg, qry_cfg, query_batch,
     # static across batches (reference set_query_emb semantics). The
     # jitted callables are memoized per config: a fresh jit(lambda)
     # per call would RETRACE the 8-layer model every call (~5s of pure
-    # tracing per serving request)
-    stacked = jax.device_put(stack_batches(batches))
+    # tracing per serving request). Labels and the backward permutation
+    # are dead in the forward — stripping them cuts ~20% of the
+    # host->device transfer (the tunnel upload bounds big-set serving)
+    stacked = jax.device_put(dataclasses.replace(
+        stack_batches(batches), y=None, node_y=None, edge_bwd_perm=None))
     emb_q = _jit_embed_queries(qry_cfg)(params, jax.device_put(query_batch))
     fn = _jit_predict_from_embs(tgt_cfg)
     out = []
@@ -385,7 +388,8 @@ def _jit_gossip_predict():
 def predict_gossip_counts(params, query_embs,
                           batches: List[PackedGraphs]) -> np.ndarray:
     """(#total_nodes, Q) refined per-node counts in node order."""
-    stacked = jax.device_put(stack_batches(batches))
+    stacked = jax.device_put(dataclasses.replace(
+        stack_batches(batches), y=None, node_y=None, edge_bwd_perm=None))
     fn = _jit_gossip_predict()
     out = []
     for bi, b in enumerate(batches):
