@@ -17,7 +17,7 @@ Gradient semantics:
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Callable, Optional
 
 import jax
@@ -93,6 +93,59 @@ def dp_step_fn(loss_fn: Callable, tx, mesh: Mesh,
         return params, opt_state, loss
 
     return step
+
+
+@lru_cache(maxsize=None)
+def _dp_predict_fn(tgt_cfg, mesh: Mesh):
+    """Jitted DP forward (memoized per config+mesh): each device runs
+    the counting forward on its own packed batch."""
+    from ..models import neighborhood as neigh_mod
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(), P("data"), P()), out_specs=P("data"))
+    def fwd(params, batch, emb_q):
+        b = jax.tree_util.tree_map(lambda x: x[0], batch)
+        return neigh_mod.predict_counts_from_embs(
+            params, tgt_cfg, b, emb_q)[None]
+
+    return jax.jit(fwd)
+
+
+def dp_predict_neighborhood_counts(params, tgt_cfg, qry_cfg, query_batch,
+                                   batches, mesh: Optional[Mesh] = None
+                                   ) -> np.ndarray:
+    """Stage-1 serving sharded over the ``data`` axis: batch i runs on
+    device i % D, one dispatch per group of D batches — the serving
+    counterpart of DDP inference the reference does not have. Returns
+    exactly what the single-device ``predict_neighborhood_counts``
+    returns (valid rows of every batch, concatenated in batch order);
+    exactness is tested on the CPU mesh (tests/test_parallel.py)."""
+    import dataclasses
+
+    from ..batch.packed import stack_batches
+    from ..models import neighborhood as neigh_mod
+
+    mesh = mesh or make_mesh()
+    d = int(mesh.devices.size)
+    padded = pad_batches_to_multiple(list(batches), d)
+    stacked = dataclasses.replace(
+        stack_batches(padded), y=None, node_y=None, edge_bwd_perm=None)
+    groups = reshape_for_dp(stacked, d)  # [B//d, d, ...]
+    emb_q = jax.jit(lambda p, qb: neigh_mod.embed_queries(
+        p, qry_cfg, qb))(params, query_batch)
+    fn = _dp_predict_fn(tgt_cfg, mesh)
+    out = []
+    for gi in range(len(padded) // d):
+        g = jax.tree_util.tree_map(lambda x, i=gi: x[i], groups)
+        with mesh:
+            preds = np.asarray(fn(params, g, emb_q))  # [d, g_cap, Q]
+        for k in range(d):
+            bi = gi * d + k
+            if bi >= len(batches):
+                break
+            valid = np.asarray(batches[bi].graph_mask) > 0
+            out.append(preds[k][valid])
+    return np.concatenate(out, axis=0)
 
 
 def reshape_for_dp(stacked, d: int):

@@ -138,3 +138,22 @@ def test_graft_entry_compiles():
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_dp_predict_matches_single_device(setup):
+    """DP serving: dp_predict_neighborhood_counts == the single-device
+    predict path exactly (same math, batches just land on different
+    devices; includes a padded tail group)."""
+    from desco_tpu.parallel.dp import dp_predict_neighborhood_counts
+    from desco_tpu.train.loop import predict_neighborhood_counts
+
+    graphs, samples, qb, tgt_cfg, qry_cfg, params, rng = setup
+    caps = auto_capacities(samples, g_cap=6)
+    batches = pack_samples(samples, *caps, n_queries=2)
+    assert len(batches) % N_DEV != 0  # exercises the padded tail
+    single = predict_neighborhood_counts(params, tgt_cfg, qry_cfg, qb,
+                                         batches)
+    mesh = make_mesh(N_DEV)
+    dp = dp_predict_neighborhood_counts(params, tgt_cfg, qry_cfg, qb,
+                                        batches, mesh)
+    np.testing.assert_array_equal(dp, single)
