@@ -148,6 +148,49 @@ def dp_predict_neighborhood_counts(params, tgt_cfg, qry_cfg, query_batch,
     return np.concatenate(out, axis=0)
 
 
+@lru_cache(maxsize=None)
+def _dp_gossip_predict_fn(mesh: Mesh):
+    from ..models import gossip as gossip_mod
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(), P("data"), P()), out_specs=P("data"))
+    def fwd(params, batch, query_embs):
+        b = jax.tree_util.tree_map(lambda x: x[0], batch)
+        return gossip_mod.gossip_predict(params, b, query_embs)[None]
+
+    return jax.jit(fwd)
+
+
+def dp_predict_gossip_counts(params, query_embs, batches,
+                             mesh: Optional[Mesh] = None) -> np.ndarray:
+    """Stage-3 serving sharded over the ``data`` axis (one gossip batch
+    per device per dispatch); exactly equal to the single-device
+    ``predict_gossip_counts``."""
+    import dataclasses
+
+    from ..batch.packed import stack_batches
+
+    mesh = mesh or make_mesh()
+    d = int(mesh.devices.size)
+    padded = pad_batches_to_multiple(list(batches), d)
+    stacked = dataclasses.replace(
+        stack_batches(padded), y=None, node_y=None, edge_bwd_perm=None)
+    groups = reshape_for_dp(stacked, d)
+    fn = _dp_gossip_predict_fn(mesh)
+    out = []
+    for gi in range(len(padded) // d):
+        g = jax.tree_util.tree_map(lambda x, i=gi: x[i], groups)
+        with mesh:
+            preds = np.asarray(fn(params, g, query_embs))  # [d, n_cap, Q]
+        for k in range(d):
+            bi = gi * d + k
+            if bi >= len(batches):
+                break
+            valid = np.asarray(batches[bi].node_mask) > 0
+            out.append(preds[k][valid])
+    return np.concatenate(out, axis=0)
+
+
 def reshape_for_dp(stacked, d: int):
     """[B, ...] stacked batches -> [B // d, d, ...] (B must divide)."""
     def r(x):

@@ -157,3 +157,26 @@ def test_dp_predict_matches_single_device(setup):
     dp = dp_predict_neighborhood_counts(params, tgt_cfg, qry_cfg, qb,
                                         batches, mesh)
     np.testing.assert_array_equal(dp, single)
+
+
+def test_dp_gossip_predict_matches_single_device(setup):
+    """DP gossip serving == single-device predict_gossip_counts."""
+    from desco_tpu.parallel.dp import dp_predict_gossip_counts
+    from desco_tpu.train.loop import predict_gossip_counts
+
+    graphs, samples, qb, tgt_cfg, qry_cfg, params, rng = setup
+    gsamples = [
+        gossip_sample(g, rng.random((g.n_nodes, 2)).astype(np.float32),
+                      rng.random((g.n_nodes, 2)).astype(np.float32))
+        for g in graphs
+    ]
+    caps = auto_capacities(gsamples, g_cap=2)
+    batches = pack_samples(gsamples, *caps, n_queries=2)
+    gparams = gossip_mod.init_gossip_model(
+        jax.random.PRNGKey(2), input_dim=1, hidden_dim=8, emb_channels=8,
+        layer_num=2)
+    query_embs = jnp.asarray(rng.random((2, 8)).astype(np.float32))
+    single = predict_gossip_counts(gparams, query_embs, batches)
+    dp = dp_predict_gossip_counts(gparams, query_embs, batches,
+                                  make_mesh(N_DEV))
+    np.testing.assert_array_equal(dp, single)
