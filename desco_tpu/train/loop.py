@@ -308,10 +308,17 @@ def predict_neighborhood_counts(params, tgt_cfg, qry_cfg, query_batch,
         stack_batches(batches), y=None, node_y=None, edge_bwd_perm=None))
     emb_q = _jit_embed_queries(qry_cfg)(params, jax.device_put(query_batch))
     fn = _jit_predict_from_embs(tgt_cfg)
+    # dispatch everything, read back ONE stacked array: every
+    # np.asarray is a full tunnel round trip on this platform, so
+    # per-batch syncs would serialize B latencies
+    dev_out = [
+        fn(params, jax.tree_util.tree_map(lambda x, i=bi: x[i], stacked),
+           emb_q)
+        for bi in range(len(batches))
+    ]
+    all_preds = np.asarray(jnp.stack(dev_out))  # [B, g_cap, Q]
     out = []
-    for bi, b in enumerate(batches):
-        dev_b = jax.tree_util.tree_map(lambda x, i=bi: x[i], stacked)
-        preds = np.asarray(fn(params, dev_b, emb_q))
+    for b, preds in zip(batches, all_preds):
         valid = np.asarray(b.graph_mask) > 0
         out.append(preds[valid])
     return np.concatenate(out, axis=0)
@@ -391,10 +398,14 @@ def predict_gossip_counts(params, query_embs,
     stacked = jax.device_put(dataclasses.replace(
         stack_batches(batches), y=None, node_y=None, edge_bwd_perm=None))
     fn = _jit_gossip_predict()
+    dev_out = [
+        fn(params, jax.tree_util.tree_map(lambda x, i=bi: x[i], stacked),
+           query_embs)
+        for bi in range(len(batches))
+    ]
+    all_preds = np.asarray(jnp.stack(dev_out))  # [B, n_cap, Q]
     out = []
-    for bi, b in enumerate(batches):
-        dev_b = jax.tree_util.tree_map(lambda x, i=bi: x[i], stacked)
-        preds = np.asarray(fn(params, dev_b, query_embs))
+    for b, preds in zip(batches, all_preds):
         valid = np.asarray(b.node_mask) > 0
         out.append(preds[valid])
     return np.concatenate(out, axis=0)
