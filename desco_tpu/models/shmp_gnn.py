@@ -49,7 +49,7 @@ class SHMPConfig:
     hidden_dim: int = 64
     output_dim: int = 64
     layer_num: int = 8
-    conv_type: str = "SAGE"  # SAGE | GIN | GCN | GAT
+    conv_type: str = "SAGE"  # SAGE | GIN | GCN | GAT | PNA
     dropout: float = 0.0
     use_anchor: bool = True        # anchor MLP on canonical nodes
     canonical_type: int = 1
@@ -104,6 +104,13 @@ def init_shmp(key, cfg: SHMPConfig):
             * scale,
             jax.random.normal(k2[1], (cfg.layer_num, cfg.n_edge_types, h))
             * scale)
+    elif cfg.conv_type == "PNA":
+        # per-(layer, edge-type) mixer over 3 scalers x 4 aggregators x H
+        # (bias comes from the shared per-dst-type conv-bias mechanism)
+        k = 1.0 / jnp.sqrt(jnp.asarray(12 * h, jnp.float32))
+        params["pna_mix"] = jax.random.uniform(
+            ks[2], (cfg.layer_num, cfg.n_edge_types, 12 * h, h),
+            jnp.float32, -k, k)
     else:
         raise NotImplementedError(cfg.conv_type)
     if cfg.use_anchor:
@@ -218,6 +225,76 @@ def gat_aggregator(cfg: SHMPConfig, batch: PackedGraphs, att):
     return agg_fn
 
 
+def pna_aggregator(cfg: SHMPConfig, batch: PackedGraphs, mix_w_all):
+    """Typed PNA aggregation (conv_type='PNA').
+
+    The reference *constructs* pyg ``PNAConv`` with aggregators
+    [mean, min, max, std] and scalers [identity, amplification,
+    attenuation] (gnn_model.py:155-171) but its layer-update switch
+    (gnn_model.py:263-271) raises ``NotImplementedError`` for it — the
+    option is dead code upstream. This is the working typed analog:
+
+        z            = x @ W[t]                       (per edge type)
+        a[dst, t, :] = [mean, min, max, std] of z over type-t in-edges
+        scaled       = a * {1, log(d+1)/delta, delta/log(d+1)}
+        out[dst]     = sum_t scaled[dst, t] @ mix_w[t]   (aggr='sum')
+
+    with d = per-(dst, type) in-degree clamped to >= 1 (pyg's
+    ``deg.clamp_(1)``) and delta = mean log(total in-degree + 1) over the
+    batch's valid nodes. pyg takes delta from a dataset degree histogram
+    passed at construction; the per-batch estimate is the jit-friendly
+    (static-shape, dataset-free) equivalent and is stop-gradiented.
+
+    All segment statistics ride the (dst, type)-sorted edge stream —
+    pad edges carry out-of-range segment ids and are dropped by every
+    scatter. One MXU einsum per scaler block; no [N, N] densification."""
+    t_n = cfg.n_edge_types
+    seg = (batch.edge_dst.astype(jnp.int32) * t_n
+           + batch.edge_type.astype(jnp.int32))
+    e_t = jnp.clip(batch.edge_type.astype(jnp.int32), 0, t_n - 1)
+    nmask_f = batch.node_mask.astype(jnp.float32)
+
+    def agg_fn(x, conv_w, layer):
+        n = x.shape[0]
+        mix_w = mix_w_all[layer]                          # [T, 12H, H]
+        z = jnp.einsum("nh,thk->tnk", x, conv_w)          # [T, N, K]
+        z_src = z[e_t, batch.edge_src]                    # [E, K]
+        ones = jnp.ones(seg.shape, z_src.dtype)
+        cnt = segment_sum(ones, seg, n * t_n, indices_are_sorted=True)
+        s1 = segment_sum(z_src, seg, n * t_n, indices_are_sorted=True)
+        s2 = segment_sum(z_src * z_src, seg, n * t_n,
+                         indices_are_sorted=True)
+        d = jnp.maximum(cnt, 1.0)[:, None]
+        mean = s1 / d
+        # gradient-safe sqrt: var == 0 (empty / single-element segments)
+        # must yield zero grad, not sqrt'(0) = inf
+        var = jnp.maximum(s2 / d - mean * mean, 0.0)
+        std = jnp.where(var > 0, jnp.sqrt(jnp.where(var > 0, var, 1.0)),
+                        0.0)
+        mn = jax.ops.segment_min(z_src, seg, num_segments=n * t_n,
+                                 indices_are_sorted=True)
+        mx = jax.ops.segment_max(z_src, seg, num_segments=n * t_n,
+                                 indices_are_sorted=True)
+        has = (cnt > 0)[:, None]
+        mn = jnp.where(has & jnp.isfinite(mn), mn, 0.0)
+        mx = jnp.where(has & jnp.isfinite(mx), mx, 0.0)
+        feats = jnp.concatenate([mean, mn, mx, std], axis=-1)
+        feats = feats.reshape(n, t_n, -1)                 # [N, T, 4K]
+        logd = jnp.log(jnp.maximum(cnt, 1.0) + 1.0).reshape(n, t_n)
+        d_tot = cnt.reshape(n, t_n).sum(axis=1)
+        delta = (jnp.sum(jnp.log(jnp.maximum(d_tot, 1.0) + 1.0) * nmask_f)
+                 / jnp.maximum(nmask_f.sum(), 1.0))
+        delta = jax.lax.stop_gradient(
+            jnp.maximum(delta, 1e-6)).astype(feats.dtype)
+        amp = (logd / delta)[..., None].astype(feats.dtype)
+        att = (delta / logd)[..., None].astype(feats.dtype)
+        w_id, w_amp, w_att = jnp.split(mix_w, 3, axis=1)  # [T, 4K, H] each
+        return (jnp.einsum("ntf,tfh->nh", feats, w_id)
+                + jnp.einsum("ntf,tfh->nh", feats * amp, w_amp)
+                + jnp.einsum("ntf,tfh->nh", feats * att, w_att))
+    return agg_fn
+
+
 def run_shmp_layers(
     params, cfg: SHMPConfig, x, ntype, nmask, aggregate_fn,
     train: bool = False, rng=None,
@@ -255,9 +332,9 @@ def run_shmp_layers(
             x = _per_type_linear(
                 upd_in, params["upd"][0][l], params["upd"][1][l],
                 ntype, cfg.n_node_types)
-        elif cfg.conv_type in ("GCN", "GAT"):
-            # conv output used directly (GAT attention happens inside
-            # the aggregation provider)
+        elif cfg.conv_type in ("GCN", "GAT", "PNA"):
+            # conv output used directly (GAT attention / PNA statistics
+            # happen inside the aggregation provider)
             x = x_neigh
         else:  # GIN: update MLP on (x_neigh + (1 + eps) * x), eps = 0
             upd_in = x_neigh + x
@@ -306,6 +383,8 @@ def apply_shmp_core(
 
     if cfg.conv_type == "GAT":
         agg_fn = gat_aggregator(cfg, batch, params["att"])
+    elif cfg.conv_type == "PNA":
+        agg_fn = pna_aggregator(cfg, batch, params["pna_mix"])
     else:
         agg = packed_aggregator(cfg, batch)
         agg_fn = lambda x_, w_, l_: agg(x_, w_)  # noqa: E731

@@ -387,6 +387,108 @@ def test_gat_conv_matches_numpy_softmax_oracle(rng):
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("conv", ["SAGE", "GIN", "GCN", "GAT", "PNA"])
+def test_conv_variants_grad_smoke(rng, conv):
+    """Every conv variant runs forward + backward with finite,
+    not-all-zero gradients (the full flag surface of
+    gnn_model.py:213-227, minus the upstream-dead PNACONV wiring)."""
+    from desco_tpu.models.shmp_gnn import (
+        apply_shmp,
+        init_shmp,
+        neighborhood_target_config,
+    )
+    from desco_tpu.batch.packed import auto_capacities, pack_samples
+
+    samples = make_neigh_samples(rng, n_graphs=3)
+    n_cap, e_cap, g_cap = auto_capacities(samples, g_cap=len(samples))
+    [b] = pack_samples(samples, n_cap, e_cap, g_cap, n_queries=3)
+    cfg = neighborhood_target_config(layer_num=2, hidden_dim=8,
+                                     output_dim=4, conv_type=conv)
+    params = init_shmp(jax.random.PRNGKey(11), cfg)
+
+    def loss(p):
+        return jnp.sum(apply_shmp(p, cfg, b) ** 2)
+
+    grads = jax.jit(jax.grad(loss))(params)
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(bool(jnp.all(jnp.isfinite(g))) for g in leaves)
+    assert any(float(jnp.abs(g).max()) > 0 for g in leaves)
+
+
+def test_pna_conv_matches_numpy_oracle(rng):
+    """Typed PNA aggregation (conv_type='PNA'): per-(dst, edge-type)
+    mean/min/max/std of transformed sources, degree scalers
+    {1, log(d+1)/delta, delta/log(d+1)}, per-type mixer, types summed —
+    checked against a direct numpy per-segment re-derivation. (The
+    reference constructs pyg PNAConv, gnn_model.py:155-171, but its
+    layer-update switch 263-271 NotImplementedErrors on it.)"""
+    from desco_tpu.batch.build import neighborhood_sample
+    from desco_tpu.graph import canonical_neighborhood
+    from desco_tpu.models.shmp_gnn import (
+        apply_shmp_core,
+        init_shmp,
+        neighborhood_target_config,
+    )
+    from desco_tpu.batch.packed import auto_capacities, pack_samples
+
+    g = random_graph(rng, 20, 0.25)
+    nb = canonical_neighborhood(g, g.n_nodes - 1, depth=10)
+    s = neighborhood_sample(nb)
+    cfg = neighborhood_target_config(layer_num=1, hidden_dim=8,
+                                     conv_type="PNA")
+    params = init_shmp(jax.random.PRNGKey(5), cfg)
+    [b] = pack_samples([s], *auto_capacities([s], g_cap=1))
+    out = np.asarray(apply_shmp_core(params, cfg, b))
+
+    # ---- numpy oracle
+    n = b.x.shape[0]
+    t_n = cfg.n_edge_types
+    hd = cfg.hidden_dim
+    pre_w, pre_b = np.asarray(params["pre"][0]), np.asarray(params["pre"][1])
+    ntype = np.asarray(b.node_type)
+    nmask = np.asarray(b.node_mask)
+    x = np.asarray(b.x, np.float32)
+    h = np.stack([x[i] @ pre_w[ntype[i]] + pre_b[ntype[i]]
+                  for i in range(n)]) * nmask[:, None]
+
+    conv_w = np.asarray(params["conv"][0][0])   # [T, H, H]
+    conv_b = np.asarray(params["conv"][1][0])
+    mix_w = np.asarray(params["pna_mix"][0])    # [T, 12H, H]
+    z = np.einsum("nh,thk->tnk", h, conv_w)
+
+    es, ed, et = (np.asarray(b.edge_src), np.asarray(b.edge_dst),
+                  np.asarray(b.edge_type))
+    live = et < t_n
+    # delta over valid nodes from total live in-degree
+    d_tot = np.zeros(n)
+    for e in np.nonzero(live)[0]:
+        d_tot[ed[e]] += 1
+    delta = (np.log(np.maximum(d_tot, 1.0) + 1.0) * nmask).sum() / nmask.sum()
+
+    agg = np.zeros((n, hd))
+    for i in range(n):
+        for t in range(t_n):
+            sel = live & (ed == i) & (et == t)
+            zs = z[t, es[sel]]                  # [d, H]
+            d = max(len(zs), 1)
+            if len(zs):
+                feats = np.concatenate([zs.mean(0), zs.min(0), zs.max(0),
+                                        zs.std(0)])
+            else:
+                feats = np.zeros(4 * hd)
+            logd = np.log(d + 1.0)
+            scaled = np.concatenate(
+                [feats, feats * (logd / delta), feats * (delta / logd)])
+            agg[i] += scaled @ mix_w[t]
+    dst_t = np.asarray(cfg.edge_dst_type)
+    bias_by_nt = np.zeros((cfg.n_node_types, hd))
+    for t in range(t_n):
+        bias_by_nt[dst_t[t]] += conv_b[t]
+    x1 = np.maximum(agg + bias_by_nt[ntype], 0.0) * nmask[:, None]
+    ref = np.concatenate([h, x1], axis=-1)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
 def test_bf16_tower_parity(rng):
     """cfg.dtype=bfloat16 runs the whole target tower in bf16 (the TPU
     serving fast path); predictions must track the f32 tower within bf16
