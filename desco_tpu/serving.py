@@ -1,0 +1,234 @@
+"""Production serving API: graphs in -> graphlet counts out, one object.
+
+The reference has no serving story — its inference path is the tail of
+``main.py`` (stage-1 predict -> gossip refine -> CSV dump,
+main.py:398-460) and requires re-running the whole driver per dataset.
+``CountingService`` packages that tail as a long-lived service:
+
+  * checkpoints are loaded ONCE; the pipeline config is rehydrated from
+    the checkpoint's JSON blob (config-is-structure), so the caller
+    never re-specifies hyperparameters;
+  * the query tower runs ONCE at construction (the query set is static;
+    embeddings are reused across every request);
+  * packing capacities are PINNED after the first request and grow
+    monotonically, so steady-state requests hit the jit cache (a fresh
+    trace costs minutes through a remote compiler; a cache hit is
+    milliseconds) — the serving analog of static shapes;
+  * every serving guard is on by default: combinatorial clamp, exact
+    tail verification (VF2 recount of the top predicted tail), gossip
+    refinement with verified-row override, node-level clamp.
+
+Typical use::
+
+    svc = CountingService("ckpt/neigh", "ckpt/gossip")
+    res = svc.count(graphs)           # -> CountResult
+    res.graphlet_counts               # [n_graphs, n_queries]
+
+Thread-safety: ``count`` mutates only the pinned-capacity fields;
+concurrent calls are safe after a first warm-up call.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import numpy as np
+
+from .graph import Graph
+from .models import neighborhood as neigh_mod
+from .models.gossip import init_gossip_model
+from .pipeline import (
+    PipelineConfig,
+    apply_verified_override,
+    build_query_batch,
+    clamp_node_counts,
+    model_configs,
+    neighborhood_predictions,
+    prepare_stage_data,
+)
+from .train.checkpoint import load_checkpoint
+from .train.loop import predict_gossip_counts
+
+
+@dataclasses.dataclass(frozen=True)
+class CountResult:
+    """Counts for one ``CountingService.count`` request.
+
+    graphlet_counts: [n_graphs, n_queries] rounded non-negative counts
+        (gossip-refined when the service has a gossip model).
+    node_counts: [total_nodes, n_queries] per-node canonical counts in
+        input node order (graphs concatenated); zero rows for nodes
+        whose canonical neighborhood is edgeless (they host nothing).
+    neighborhood_counts: [n_neighborhoods, n_queries] raw stage-1
+        output after clamp + verification.
+    verified_rows: neighborhood row indices recounted EXACTLY by VF2.
+    refined: whether gossip refinement ran.
+    """
+
+    graphlet_counts: np.ndarray
+    node_counts: np.ndarray
+    neighborhood_counts: np.ndarray
+    verified_rows: np.ndarray
+    refined: bool
+
+
+def _rehydrate_config(meta: dict,
+                      overrides: Optional[dict]) -> PipelineConfig:
+    fields = {f.name for f in dataclasses.fields(PipelineConfig)}
+    raw = {k: v for k, v in (meta.get("config") or {}).items()
+           if k in fields}
+    if "query_sizes" in raw:
+        raw["query_sizes"] = tuple(raw["query_sizes"])
+    raw.update(overrides or {})
+    return PipelineConfig(**raw)
+
+
+class CountingService:
+    """Load-once, count-forever serving front end (see module docs)."""
+
+    def __init__(
+        self,
+        neigh_checkpoint: str,
+        gossip_checkpoint: Optional[str] = None,
+        config_overrides: Optional[dict] = None,
+        cfg: Optional[PipelineConfig] = None,
+    ) -> None:
+        import jax
+
+        if cfg is None:
+            # peek at the checkpoint's saved config for rehydration
+            import json
+
+            with open(neigh_checkpoint + ".json") as f:
+                meta = json.load(f)
+            cfg = _rehydrate_config(meta, config_overrides)
+        elif config_overrides:
+            cfg = dataclasses.replace(cfg, **config_overrides)
+        self.cfg = cfg
+        self.tgt_cfg, self.qry_cfg = model_configs(cfg)
+        self.query_batch = build_query_batch(cfg)
+
+        template = neigh_mod.init_neighborhood_model(
+            jax.random.PRNGKey(0), self.tgt_cfg, self.qry_cfg)
+        self.neigh_params, _, _ = load_checkpoint(neigh_checkpoint,
+                                                  template)
+        self.gossip_params = None
+        self.query_embs = None
+        if gossip_checkpoint is not None:
+            g_template = init_gossip_model(
+                jax.random.PRNGKey(1), input_dim=1,
+                hidden_dim=cfg.gossip_hidden_dim,
+                emb_channels=cfg.neigh_hidden_dim,
+                layer_num=cfg.gossip_layer_num)
+            self.gossip_params, _, _ = load_checkpoint(gossip_checkpoint,
+                                                       g_template)
+            # static query set -> embed once, reuse every request
+            self.query_embs = neigh_mod.embed_queries(
+                self.neigh_params, self.qry_cfg, self.query_batch)
+        self._neigh_caps: Optional[tuple] = None
+        self._gossip_caps: Optional[tuple] = None
+
+    # ------------------------------------------------------ capacities
+    @staticmethod
+    def _fit(caps: Optional[tuple], samples) -> bool:
+        if caps is None:
+            return False
+        n_cap, e_cap, _ = caps
+        return all(s.n_nodes + 1 < n_cap and s.n_edges <= e_cap
+                   for s in samples)
+
+    @staticmethod
+    def _grow(caps: Optional[tuple], fresh: tuple) -> tuple:
+        if caps is None:
+            return fresh
+        return tuple(max(a, b) for a, b in zip(caps, fresh))
+
+    def _pin_caps(self, attr: str, samples, g_cap: int) -> tuple:
+        """Monotone-growing pinned capacities: steady-state requests
+        reuse the exact packed shapes (jit cache hits); a request that
+        does not fit grows them once and re-pins."""
+        from .batch.packed import auto_capacities
+
+        caps = getattr(self, attr)
+        if not self._fit(caps, samples):
+            caps = self._grow(caps, auto_capacities(samples, g_cap=g_cap))
+            # keep g_cap fixed across requests (shape stability) even
+            # when a small request has fewer samples than the batch size
+            caps = (caps[0], caps[1], g_cap)
+            setattr(self, attr, caps)
+        return caps
+
+    # ---------------------------------------------------------- counting
+    def count(self, graphs: Sequence[Graph],
+              refine: Optional[bool] = None) -> CountResult:
+        """Count all configured queries in each input graph.
+
+        refine: run gossip refinement; default = whenever the service
+        has a gossip model. Exact-verified rows always override the
+        learned residual (pipeline.apply_verified_override)."""
+        graphs = list(graphs)
+        if refine is None:
+            refine = self.gossip_params is not None
+        if refine and self.gossip_params is None:
+            raise ValueError("refine=True but no gossip checkpoint loaded")
+
+        # pinned capacities: a sample that does not fit raises inside
+        # pack_samples; regrow from an unpinned pass (rare, monotone)
+        try:
+            stage = prepare_stage_data(
+                self.cfg, graphs, "__serve__", need_truth=False,
+                capacities=self._neigh_caps)
+        except ValueError:
+            stage = prepare_stage_data(self.cfg, graphs, "__serve__",
+                                       need_truth=False)
+        b0 = stage.batches[0]
+        self._neigh_caps = self._grow(
+            self._neigh_caps,
+            (b0.x.shape[0], b0.edge_src.shape[0],
+             int(b0.graph_mask.shape[0])))
+        counts, verified = neighborhood_predictions(
+            self.neigh_params, self.tgt_cfg, self.qry_cfg,
+            self.query_batch, stage, self.cfg, return_verified=True)
+
+        if refine:
+            gb = self._repack_gossip(stage, counts)
+            node_counts = predict_gossip_counts(
+                self.gossip_params, self.query_embs, gb)
+            if self.cfg.clamp_counts:
+                node_counts = clamp_node_counts(
+                    node_counts, stage, self.cfg,
+                    canonical_type=self.tgt_cfg.canonical_type)
+            node_counts = apply_verified_override(
+                node_counts, counts, verified, stage.nindex)
+            graphlet = stage.workload.aggregate_node_counts(node_counts)
+        else:
+            node_counts = np.zeros((stage.workload.total_nodes,
+                                    counts.shape[1]), counts.dtype)
+            rows = np.nonzero(np.asarray(stage.nindex.indicator))[0]
+            node_counts[rows] = counts
+            graphlet = stage.workload.aggregate_neighborhood_counts(
+                counts, stage.nindex)
+
+        return CountResult(
+            graphlet_counts=np.round(np.maximum(graphlet, 0.0)),
+            node_counts=node_counts,
+            neighborhood_counts=counts,
+            verified_rows=verified,
+            refined=bool(refine),
+        )
+
+    def count_graph(self, graph: Graph, **kw) -> np.ndarray:
+        """[n_queries] counts for a single graph."""
+        return self.count([graph], **kw).graphlet_counts[0]
+
+    # --------------------------------------------------------- internals
+    def _repack_gossip(self, stage, counts):
+        samples = stage.workload.gossip_samples(counts, stage.nindex,
+                                                stage.truth)
+        caps = self._pin_caps("_gossip_caps", samples,
+                              self.cfg.gossip_batch_size)
+        from .batch.packed import pack_samples
+
+        return pack_samples(samples, *caps,
+                            n_queries=stage.truth.shape[1])

@@ -1,0 +1,114 @@
+"""CountingService: load-once serving front end (desco_tpu/serving.py).
+
+Exactness vs the raw pipeline calls, capacity pinning across requests,
+and config rehydration from the checkpoint blob."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import pytest
+
+from desco_tpu.data.synthetic import generate_synthetic
+from desco_tpu.models import neighborhood as neigh_mod
+from desco_tpu.models.gossip import init_gossip_model
+from desco_tpu.pipeline import (
+    PipelineConfig,
+    model_configs,
+    neighborhood_predictions,
+    build_query_batch,
+    prepare_stage_data,
+)
+from desco_tpu.serving import CountingService
+from desco_tpu.train.checkpoint import save_checkpoint
+
+
+@pytest.fixture(scope="module")
+def ckpts(tmp_path_factory):
+    """Random-init (untrained) checkpoints: serving plumbing is exact
+    regardless of the weights."""
+    root = tmp_path_factory.mktemp("svc_ckpt")
+    cfg = PipelineConfig(neigh_layer_num=2, neigh_hidden_dim=16,
+                         gossip_layer_num=1, gossip_hidden_dim=8,
+                         depth=2, verify_budget=0.02,
+                         data_root=str(root / "data"))
+    tgt, qry = model_configs(cfg)
+    params = neigh_mod.init_neighborhood_model(jax.random.PRNGKey(0),
+                                               tgt, qry)
+    gparams = init_gossip_model(jax.random.PRNGKey(1), input_dim=1,
+                                hidden_dim=cfg.gossip_hidden_dim,
+                                emb_channels=cfg.neigh_hidden_dim,
+                                layer_num=cfg.gossip_layer_num)
+    np_path = str(root / "neigh")
+    gp_path = str(root / "gossip")
+    save_checkpoint(np_path, params, config=dataclasses.asdict(cfg))
+    save_checkpoint(gp_path, gparams, config=dataclasses.asdict(cfg))
+    return np_path, gp_path, cfg
+
+
+def test_service_matches_raw_pipeline(ckpts):
+    np_path, gp_path, cfg = ckpts
+    graphs = generate_synthetic(6, min_size=10, max_size=25, seed=3)
+
+    svc = CountingService(np_path, gp_path)
+    # config rehydrated from the checkpoint blob
+    assert svc.cfg.neigh_layer_num == cfg.neigh_layer_num
+    assert svc.cfg.depth == cfg.depth
+
+    res = svc.count(graphs)
+    assert res.refined
+    assert res.graphlet_counts.shape == (6, 29)
+    assert np.all(res.graphlet_counts >= 0)
+    assert res.node_counts.shape[0] == sum(g.n_nodes for g in graphs)
+
+    # raw pipeline (the main.py tail) gives identical stage-1 counts
+    stage = prepare_stage_data(cfg, graphs, "__raw__", need_truth=False)
+    tgt, qry = model_configs(cfg)
+    qb = build_query_batch(cfg)
+    raw_counts, raw_verified = neighborhood_predictions(
+        svc.neigh_params, tgt, qry, qb, stage, cfg, return_verified=True)
+    np.testing.assert_allclose(res.neighborhood_counts, raw_counts,
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(res.verified_rows, raw_verified)
+
+
+def test_service_unrefined_scatter(ckpts):
+    np_path, _, _ = ckpts
+    graphs = generate_synthetic(4, min_size=8, max_size=20, seed=9)
+    svc = CountingService(np_path)  # no gossip checkpoint
+    res = svc.count(graphs)
+    assert not res.refined
+    # graph aggregation == sum of node rows per graph
+    offs = np.concatenate([[0], np.cumsum([g.n_nodes for g in graphs])])
+    for gi in range(len(graphs)):
+        np.testing.assert_allclose(
+            np.round(np.maximum(
+                res.node_counts[offs[gi]:offs[gi + 1]].sum(0), 0)),
+            res.graphlet_counts[gi], atol=1e-6)
+    with pytest.raises(ValueError):
+        svc.count(graphs, refine=True)
+
+
+def test_service_capacity_pinning(ckpts):
+    np_path, gp_path, _ = ckpts
+    svc = CountingService(np_path, gp_path)
+    a = generate_synthetic(3, min_size=10, max_size=18, seed=1)
+    b = generate_synthetic(5, min_size=12, max_size=20, seed=2)
+
+    r1 = svc.count(a)
+    caps1 = svc._neigh_caps
+    assert caps1 is not None
+    r2 = svc.count(b)  # same-size regime -> caps unchanged (jit reuse)
+    assert svc._neigh_caps == caps1
+
+    # a bigger request grows caps monotonically and still answers
+    big = generate_synthetic(2, min_size=120, max_size=150, seed=4)
+    r3 = svc.count(big)
+    assert svc._neigh_caps[0] >= caps1[0]
+    assert r3.graphlet_counts.shape == (2, 29)
+
+    # single-graph convenience == batch row
+    single = svc.count_graph(a[0])
+    np.testing.assert_allclose(single, svc.count([a[0]]).graphlet_counts[0])
+    assert r1.graphlet_counts.shape == (3, 29)
+    assert r2.graphlet_counts.shape == (5, 29)
