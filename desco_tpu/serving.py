@@ -182,6 +182,10 @@ class CountingService:
         except ValueError:
             stage = prepare_stage_data(self.cfg, graphs, "__serve__",
                                        need_truth=False)
+        return self._finish_request(stage, refine)
+
+    def _finish_request(self, stage, refine: bool) -> CountResult:
+        """Device stages + guards for one prepared request."""
         b0 = stage.batches[0]
         self._neigh_caps = self._grow(
             self._neigh_caps,
@@ -221,6 +225,58 @@ class CountingService:
     def count_graph(self, graph: Graph, **kw) -> np.ndarray:
         """[n_queries] counts for a single graph."""
         return self.count([graph], **kw).graphlet_counts[0]
+
+    def count_stream(self, requests, refine: Optional[bool] = None,
+                     prefetch: int = 1):
+        """Pipelined serving over an iterable of graph batches.
+
+        Host work (canonical decomposition, triangle typing, packing —
+        the C++ prep releases the GIL) for request k+1 overlaps device
+        compute for request k: a background thread runs
+        ``prepare_stage_data`` up to ``prefetch`` requests ahead while
+        the main thread drives the TPU. Yields ``CountResult`` in
+        request order. Results are bit-identical to per-request
+        ``count`` calls (tests/test_serving.py)."""
+        import queue
+        import threading
+
+        if refine is None:
+            refine = self.gossip_params is not None
+        if refine and self.gossip_params is None:
+            raise ValueError("refine=True but no gossip checkpoint loaded")
+
+        q: "queue.Queue" = queue.Queue(maxsize=max(1, prefetch))
+        SENTINEL = object()
+
+        def producer():
+            try:
+                for graphs in requests:
+                    graphs = list(graphs)
+                    try:
+                        stage = prepare_stage_data(
+                            self.cfg, graphs, "__serve__",
+                            need_truth=False,
+                            capacities=self._neigh_caps)
+                    except ValueError:
+                        stage = prepare_stage_data(
+                            self.cfg, graphs, "__serve__",
+                            need_truth=False)
+                    q.put(stage)
+            except BaseException as e:  # surface in consumer
+                q.put(e)
+            finally:
+                q.put(SENTINEL)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is SENTINEL:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield self._finish_request(item, refine)
+        t.join()
 
     # --------------------------------------------------------- internals
     def _repack_gossip(self, stage, counts):

@@ -89,6 +89,32 @@ def test_service_unrefined_scatter(ckpts):
         svc.count(graphs, refine=True)
 
 
+def test_count_stream_matches_count(ckpts):
+    """Pipelined streaming (host prefetch thread) is bit-identical to
+    per-request count() and preserves request order."""
+    np_path, gp_path, _ = ckpts
+    svc = CountingService(np_path, gp_path)
+    reqs = [generate_synthetic(3, min_size=10, max_size=20, seed=s)
+            for s in (11, 12, 13)]
+    streamed = list(svc.count_stream(reqs, prefetch=2))
+    assert len(streamed) == 3
+    for req, got in zip(reqs, streamed):
+        want = svc.count(req)
+        np.testing.assert_array_equal(got.graphlet_counts,
+                                      want.graphlet_counts)
+        np.testing.assert_allclose(got.node_counts, want.node_counts,
+                                   rtol=1e-6, atol=1e-8)
+
+    # producer exceptions surface at the consumer
+    def bad():
+        yield reqs[0]
+        raise RuntimeError("upstream died")
+    it = svc.count_stream(bad())
+    next(it)
+    with pytest.raises(RuntimeError, match="upstream died"):
+        next(it)
+
+
 def test_service_capacity_pinning(ckpts):
     np_path, gp_path, _ = ckpts
     svc = CountingService(np_path, gp_path)
