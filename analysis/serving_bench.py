@@ -205,6 +205,10 @@ def service_modes(args, graphs, n_nodes: int) -> int:
               f"{total_n / pipe:.0f} nodes/s) | overlap gain "
               f"{seq / pipe:.2f}x")
     else:  # latency
+        # warm every capacity bucket these singles will land in (one
+        # compile per pow2 bucket, a one-time cost in steady state)
+        for g in graphs:
+            svc.count_graph(g)
         lat = []
         for g in graphs:
             t0 = time.perf_counter()

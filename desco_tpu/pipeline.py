@@ -183,6 +183,8 @@ def prepare_stage_data(
         cfg.depth, cfg.query_ids, use_tconv=cfg.use_tconv,
         use_hetero=cfg.use_hetero, truth=truth,
         use_node_feat=cfg.use_node_feature, use_cache=need_truth)
+    if callable(capacities):  # serving bucket selection sees the samples
+        capacities = capacities(samples)
     caps = capacities or auto_capacities(samples, g_cap=cfg.neigh_batch_size)
     batches = pack_samples(samples, *caps, n_queries=n_q)
     return StageData(wl, samples, nindex, truth, batches)

@@ -10,10 +10,12 @@ main.py:398-460) and requires re-running the whole driver per dataset.
     never re-specifies hyperparameters;
   * the query tower runs ONCE at construction (the query set is static;
     embeddings are reused across every request);
-  * packing capacities are PINNED after the first request and grow
-    monotonically, so steady-state requests hit the jit cache (a fresh
-    trace costs minutes through a remote compiler; a cache hit is
-    milliseconds) — the serving analog of static shapes;
+  * packing capacities are BUCKETED (pow2 graph-slot counts) and each
+    bucket's capacities pin monotonically, so steady-state requests hit
+    the jit cache (a fresh trace costs minutes through a remote
+    compiler; a cache hit is milliseconds) while small requests pack at
+    small shapes — a single-graph request does not pay the full-batch
+    forward;
   * every serving guard is on by default: combinatorial clamp, exact
     tail verification (VF2 recount of the top predicted tail), gossip
     refinement with verified-row override, node-level clamp.
@@ -126,8 +128,14 @@ class CountingService:
             # static query set -> embed once, reuse every request
             self.query_embs = neigh_mod.embed_queries(
                 self.neigh_params, self.qry_cfg, self.query_batch)
-        self._neigh_caps: Optional[tuple] = None
-        self._gossip_caps: Optional[tuple] = None
+        # capacity buckets keyed by pow2 graph-slot count: small
+        # requests pack (and compile) at small shapes — a single graph
+        # does not pay the full-batch forward — while each bucket's
+        # (n_cap, e_cap) pins monotonically so repeats are jit hits.
+        # Bucket count is bounded by log2(batch_size) compiles, paid
+        # once each.
+        self._neigh_buckets: dict = {}
+        self._gossip_buckets: dict = {}
 
     # ------------------------------------------------------ capacities
     @staticmethod
@@ -144,19 +152,22 @@ class CountingService:
             return fresh
         return tuple(max(a, b) for a, b in zip(caps, fresh))
 
-    def _pin_caps(self, attr: str, samples, g_cap: int) -> tuple:
-        """Monotone-growing pinned capacities: steady-state requests
-        reuse the exact packed shapes (jit cache hits); a request that
-        does not fit grows them once and re-pins."""
+    def _pin_caps(self, buckets: dict, samples, g_cap_max: int) -> tuple:
+        """Bucketed, monotone-growing pinned capacities (see __init__)."""
         from .batch.packed import auto_capacities
 
-        caps = getattr(self, attr)
+        g_target = 1
+        while g_target < min(len(samples), g_cap_max):
+            g_target *= 2
+        g_target = min(g_target, g_cap_max)
+        caps = buckets.get(g_target)
         if not self._fit(caps, samples):
-            caps = self._grow(caps, auto_capacities(samples, g_cap=g_cap))
-            # keep g_cap fixed across requests (shape stability) even
-            # when a small request has fewer samples than the batch size
-            caps = (caps[0], caps[1], g_cap)
-            setattr(self, attr, caps)
+            caps = self._grow(caps,
+                              auto_capacities(samples, g_cap=g_target))
+            # keep the slot count at the bucket key (auto_capacities
+            # shrinks g_cap to len(samples)) so repeats share shapes
+            caps = (caps[0], caps[1], g_target)
+            buckets[g_target] = caps
         return caps
 
     # ---------------------------------------------------------- counting
@@ -173,24 +184,17 @@ class CountingService:
         if refine and self.gossip_params is None:
             raise ValueError("refine=True but no gossip checkpoint loaded")
 
-        # pinned capacities: a sample that does not fit raises inside
-        # pack_samples; regrow from an unpinned pass (rare, monotone)
-        try:
-            stage = prepare_stage_data(
-                self.cfg, graphs, "__serve__", need_truth=False,
-                capacities=self._neigh_caps)
-        except ValueError:
-            stage = prepare_stage_data(self.cfg, graphs, "__serve__",
-                                       need_truth=False)
+        stage = prepare_stage_data(
+            self.cfg, graphs, "__serve__", need_truth=False,
+            capacities=self._select_neigh_caps)
         return self._finish_request(stage, refine)
+
+    def _select_neigh_caps(self, samples) -> tuple:
+        return self._pin_caps(self._neigh_buckets, samples,
+                              self.cfg.neigh_batch_size)
 
     def _finish_request(self, stage, refine: bool) -> CountResult:
         """Device stages + guards for one prepared request."""
-        b0 = stage.batches[0]
-        self._neigh_caps = self._grow(
-            self._neigh_caps,
-            (b0.x.shape[0], b0.edge_src.shape[0],
-             int(b0.graph_mask.shape[0])))
         counts, verified = neighborhood_predictions(
             self.neigh_params, self.tgt_cfg, self.qry_cfg,
             self.query_batch, stage, self.cfg, return_verified=True)
@@ -251,16 +255,10 @@ class CountingService:
         def producer():
             try:
                 for graphs in requests:
-                    graphs = list(graphs)
-                    try:
-                        stage = prepare_stage_data(
-                            self.cfg, graphs, "__serve__",
-                            need_truth=False,
-                            capacities=self._neigh_caps)
-                    except ValueError:
-                        stage = prepare_stage_data(
-                            self.cfg, graphs, "__serve__",
-                            need_truth=False)
+                    stage = prepare_stage_data(
+                        self.cfg, list(graphs), "__serve__",
+                        need_truth=False,
+                        capacities=self._select_neigh_caps)
                     q.put(stage)
             except BaseException as e:  # surface in consumer
                 q.put(e)
@@ -282,7 +280,7 @@ class CountingService:
     def _repack_gossip(self, stage, counts):
         samples = stage.workload.gossip_samples(counts, stage.nindex,
                                                 stage.truth)
-        caps = self._pin_caps("_gossip_caps", samples,
+        caps = self._pin_caps(self._gossip_buckets, samples,
                               self.cfg.gossip_batch_size)
         from .batch.packed import pack_samples
 

@@ -115,26 +115,32 @@ def test_count_stream_matches_count(ckpts):
         next(it)
 
 
-def test_service_capacity_pinning(ckpts):
+def test_service_capacity_buckets(ckpts):
     np_path, gp_path, _ = ckpts
     svc = CountingService(np_path, gp_path)
     a = generate_synthetic(3, min_size=10, max_size=18, seed=1)
-    b = generate_synthetic(5, min_size=12, max_size=20, seed=2)
+    b = generate_synthetic(3, min_size=10, max_size=18, seed=2)
 
     r1 = svc.count(a)
-    caps1 = svc._neigh_caps
-    assert caps1 is not None
-    r2 = svc.count(b)  # same-size regime -> caps unchanged (jit reuse)
-    assert svc._neigh_caps == caps1
+    buckets1 = dict(svc._neigh_buckets)
+    assert len(buckets1) == 1
+    r2 = svc.count(b)  # same-size regime -> same bucket, caps unchanged
+    assert svc._neigh_buckets == buckets1
+    [(g_key, caps)] = buckets1.items()
+    assert caps[2] == g_key  # slot count pinned at the bucket key
 
-    # a bigger request grows caps monotonically and still answers
+    # a much larger request lands in its own bucket; small bucket intact
     big = generate_synthetic(2, min_size=120, max_size=150, seed=4)
     r3 = svc.count(big)
-    assert svc._neigh_caps[0] >= caps1[0]
     assert r3.graphlet_counts.shape == (2, 29)
+    assert svc._neigh_buckets[g_key] == caps
+    assert len(svc._neigh_buckets) == 2
+    big_key = max(svc._neigh_buckets)
+    assert svc._neigh_buckets[big_key][0] > caps[0]  # bigger n_cap
 
-    # single-graph convenience == batch row
+    # single-graph convenience == batch row, served from a small bucket
     single = svc.count_graph(a[0])
     np.testing.assert_allclose(single, svc.count([a[0]]).graphlet_counts[0])
+    assert min(svc._neigh_buckets) <= g_key
     assert r1.graphlet_counts.shape == (3, 29)
-    assert r2.graphlet_counts.shape == (5, 29)
+    assert r2.graphlet_counts.shape == (3, 29)
