@@ -21,11 +21,21 @@ from .container import Graph
 _ATLAS_SCAN_END = 209  # covers all graphs up to 7 nodes
 
 
+_QUERY_ID_MEMO: Dict[tuple, List[int]] = {}
+
+
 def gen_query_ids(query_sizes: List[int]) -> List[int]:
     """Atlas ids of all *connected* graphs whose size is in ``query_sizes``.
 
-    For sizes [3, 4, 5] this yields the 29 standard queries.
+    For sizes [3, 4, 5] this yields the 29 standard queries. Memoized:
+    ``nx.graph_atlas`` re-parses the gzipped atlas table on every call
+    (~200 ms for the scan), and config properties consult this dozens of
+    times per pipeline run.
     """
+    key = tuple(query_sizes)
+    hit = _QUERY_ID_MEMO.get(key)
+    if hit is not None:
+        return list(hit)
     by_size: Dict[int, List[int]] = defaultdict(list)
     for i in range(6, _ATLAS_SCAN_END):
         g = nx.graph_atlas(i)
@@ -37,16 +47,27 @@ def gen_query_ids(query_sizes: List[int]) -> List[int]:
     for size, ids in by_size.items():
         if size in query_sizes:
             out.extend(ids)
-    return out
+    _QUERY_ID_MEMO[key] = out
+    return list(out)
+
+
+_ATLAS_PLUS_MEMO: Dict[int, nx.Graph] = {}
 
 
 def graph_atlas_plus(query_id: int) -> nx.Graph:
     """Atlas lookup extended with the hand-crafted 8-14-node benchmark
     patterns at ids 8000-14004 (graph_atlas_plus semantics,
-    workload.py:1128-1671; pattern data in atlas_plus_data)."""
+    workload.py:1128-1671; pattern data in atlas_plus_data).
+
+    Memoized (copies returned — callers may decorate the nx graph):
+    each ``nx.graph_atlas(i)`` call re-parses the atlas up to id i."""
     if query_id < 1253:
-        g = nx.graph_atlas(query_id)
-        return nx.convert_node_labels_to_integers(g)
+        hit = _ATLAS_PLUS_MEMO.get(query_id)
+        if hit is None:
+            hit = nx.convert_node_labels_to_integers(
+                nx.graph_atlas(query_id))
+            _ATLAS_PLUS_MEMO[query_id] = hit
+        return hit.copy()
     from .atlas_plus_data import EDGELIST_PLUS
 
     if query_id in EDGELIST_PLUS:

@@ -98,16 +98,29 @@ class PipelineConfig:
         return gen_query_ids(list(self.query_sizes))
 
 
+_QUERY_MEMO: dict = {}
+
+
 def pipeline_queries(cfg: PipelineConfig) -> List[Graph]:
     """The effective query set: atlas queries, expanded per one-hot
-    label assignment in labeled mode (reference main.py:51-61)."""
-    base = gen_queries(cfg.query_ids)
-    if not cfg.use_node_feature:
-        return base
-    from .graph.atlas import expand_query_labels
+    label assignment in labeled mode (reference main.py:51-61).
 
-    return [v for q in base
-            for v in expand_query_labels(q, cfg.neigh_input_dim)]
+    Memoized: atlas construction costs ~50 ms and the serving path
+    consults the query set several times per request (bounds, tail
+    verification, metrics). Queries are immutable host Graphs."""
+    key = (tuple(cfg.query_ids), cfg.use_node_feature,
+           cfg.neigh_input_dim)
+    hit = _QUERY_MEMO.get(key)
+    if hit is not None:
+        return hit
+    base = gen_queries(cfg.query_ids)
+    if cfg.use_node_feature:
+        from .graph.atlas import expand_query_labels
+
+        base = [v for q in base
+                for v in expand_query_labels(q, cfg.neigh_input_dim)]
+    _QUERY_MEMO[key] = base
+    return base
 
 
 def pipeline_query_groups(cfg: PipelineConfig) -> List[List[int]]:
