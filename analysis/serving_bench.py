@@ -45,6 +45,8 @@ def main() -> int:
                     help="stream mode: number of --graphs-sized requests")
     ap.add_argument("--neigh_ckpt", default=None)
     ap.add_argument("--gossip_ckpt", default=None)
+    ap.add_argument("--n_devices", type=int, default=1,
+                    help="service modes: DP-serve over this many devices")
     args = ap.parse_args()
 
     import jax
@@ -169,7 +171,7 @@ def service_modes(args, graphs, n_nodes: int) -> int:
         save_checkpoint(np_path, params, config=blob)
         save_checkpoint(gp_path, gparams, config=blob)
     svc = CountingService(
-        np_path, gp_path,
+        np_path, gp_path, n_devices=args.n_devices,
         config_overrides={"verify_budget": args.verify,
                           "data_root": cfg.data_root})
 

@@ -224,19 +224,28 @@ def train_neighborhood_stage(
 def neighborhood_predictions(params, tgt_cfg, qry_cfg, query_batch,
                              stage: StageData,
                              cfg: Optional[PipelineConfig] = None,
-                             return_verified: bool = False):
+                             return_verified: bool = False,
+                             mesh=None):
     """(#neighborhoods, Q) de-logged stage-1 counts; clamped to the
     combinatorial neighborhood bound when cfg.clamp_counts and
     exact-recounted on the top tail when cfg.verify_budget > 0.
     With ``return_verified``, also returns the neighborhood row indices
     whose counts are now EXACT (so downstream stages can prefer them
-    over any learned residual)."""
+    over any learned residual). A ``mesh`` with >1 devices shards the
+    forward over its ``data`` axis (parallel/dp.py DP serving —
+    bit-identical to single-device)."""
     if cfg is not None and cfg.serve_bf16:
         import jax.numpy as jnp
 
         tgt_cfg = dataclasses.replace(tgt_cfg, dtype=jnp.bfloat16)
-    counts = train_loop.predict_neighborhood_counts(
-        params, tgt_cfg, qry_cfg, query_batch, stage.batches)
+    if mesh is not None and int(mesh.devices.size) > 1:
+        from .parallel.dp import dp_predict_neighborhood_counts
+
+        counts = dp_predict_neighborhood_counts(
+            params, tgt_cfg, qry_cfg, query_batch, stage.batches, mesh)
+    else:
+        counts = train_loop.predict_neighborhood_counts(
+            params, tgt_cfg, qry_cfg, query_batch, stage.batches)
     verified = np.zeros(0, np.int64)
     if cfg is not None and cfg.clamp_counts:
         from .truth.bounds import clamp_counts

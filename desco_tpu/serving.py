@@ -95,7 +95,11 @@ class CountingService:
         gossip_checkpoint: Optional[str] = None,
         config_overrides: Optional[dict] = None,
         cfg: Optional[PipelineConfig] = None,
+        n_devices: int = 1,
     ) -> None:
+        """``n_devices > 1`` (or -1 for all visible devices) shards every
+        device forward over a ``data`` mesh axis (parallel/dp.py DP
+        serving) — bit-identical results, D batches per dispatch."""
         import jax
 
         if cfg is None:
@@ -128,6 +132,13 @@ class CountingService:
             # static query set -> embed once, reuse every request
             self.query_embs = neigh_mod.embed_queries(
                 self.neigh_params, self.qry_cfg, self.query_batch)
+        self.mesh = None
+        if n_devices == -1:
+            n_devices = len(jax.devices())
+        if n_devices > 1:
+            from .parallel.dp import make_mesh
+
+            self.mesh = make_mesh(n_devices)
         # capacity buckets keyed by pow2 graph-slot count: small
         # requests pack (and compile) at small shapes — a single graph
         # does not pay the full-batch forward — while each bucket's
@@ -197,12 +208,19 @@ class CountingService:
         """Device stages + guards for one prepared request."""
         counts, verified = neighborhood_predictions(
             self.neigh_params, self.tgt_cfg, self.qry_cfg,
-            self.query_batch, stage, self.cfg, return_verified=True)
+            self.query_batch, stage, self.cfg, return_verified=True,
+            mesh=self.mesh)
 
         if refine:
             gb = self._repack_gossip(stage, counts)
-            node_counts = predict_gossip_counts(
-                self.gossip_params, self.query_embs, gb)
+            if self.mesh is not None:
+                from .parallel.dp import dp_predict_gossip_counts
+
+                node_counts = dp_predict_gossip_counts(
+                    self.gossip_params, self.query_embs, gb, self.mesh)
+            else:
+                node_counts = predict_gossip_counts(
+                    self.gossip_params, self.query_embs, gb)
             if self.cfg.clamp_counts:
                 node_counts = clamp_node_counts(
                     node_counts, stage, self.cfg,

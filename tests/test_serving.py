@@ -115,6 +115,21 @@ def test_count_stream_matches_count(ckpts):
         next(it)
 
 
+def test_service_dp_mesh_exactness(ckpts):
+    """n_devices=8 serving (DP shard_map over the data axis) returns
+    exactly what single-device serving returns."""
+    np_path, gp_path, _ = ckpts
+    graphs = generate_synthetic(10, min_size=10, max_size=24, seed=21)
+    svc1 = CountingService(np_path, gp_path)
+    svc8 = CountingService(np_path, gp_path, n_devices=8)
+    r1 = svc1.count(graphs)
+    r8 = svc8.count(graphs)
+    np.testing.assert_array_equal(r1.graphlet_counts, r8.graphlet_counts)
+    np.testing.assert_allclose(r1.node_counts, r8.node_counts,
+                               rtol=1e-6, atol=1e-8)
+    np.testing.assert_array_equal(r1.verified_rows, r8.verified_rows)
+
+
 def test_service_capacity_buckets(ckpts):
     np_path, gp_path, _ = ckpts
     svc = CountingService(np_path, gp_path)
