@@ -42,20 +42,9 @@ def main() -> int:
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
-    import jax.numpy as jnp
-    from jax.sharding import Mesh, PartitionSpec as P
-
-    from desco_tpu.batch.build import gossip_sample
     from desco_tpu.graph.container import Graph
     from desco_tpu.models import neighborhood as neigh_mod
     from desco_tpu.models.gossip import init_gossip_model
-    from desco_tpu.parallel.halo import (
-        halo_gossip_single,
-        locality_order,
-        partition_node_values,
-        partition_typed_graph,
-        unpartition_nodes,
-    )
     from desco_tpu.pipeline import (
         PipelineConfig,
         build_query_batch,
@@ -74,8 +63,6 @@ def main() -> int:
             pairs.add((t, v))
     edges = np.array(sorted(pairs), np.int32)
     g = Graph(n, edges)
-    es = np.concatenate([edges[:, 0], edges[:, 1]]).astype(np.int32)
-    ed = np.concatenate([edges[:, 1], edges[:, 0]]).astype(np.int32)
     print(f"graph: {n} nodes, {g.n_edges} undirected edges")
 
     cfg = PipelineConfig(query_sizes=tuple(args.query_sizes),
@@ -102,22 +89,11 @@ def main() -> int:
     x_all = np.zeros((n, n_q), np.float32)
     x_all[np.asarray(stage.nindex.indicator)] = counts.astype(np.float32)
 
-    # ---- stage 2: gossip halo-sharded over the graph axis
+    # ---- stage 2: gossip halo-sharded over the graph axis (the same
+    # library path CountingService.count_large_graph serves from)
+    from desco_tpu.parallel.halo import serve_gossip_counts
+
     d = args.devices
-    order = locality_order(n, es, ed, method="metis")
-    inv = np.empty(n, np.int64)
-    inv[order] = np.arange(n)
-    s = gossip_sample(g, x_all, x_all)  # labels unused at serving
-    # relabel into locality order for low cuts
-    es_l, ed_l = inv[s.edge_src], inv[s.edge_dst]
-    x_l = x_all[order]
-
-    t0 = time.perf_counter()
-    part = partition_typed_graph(
-        n, s.node_type[order], x_l, es_l.astype(np.int32),
-        ed_l.astype(np.int32), s.edge_type, d, n_types=2)
-    t_part = time.perf_counter() - t0
-
     gparams = init_gossip_model(
         jax.random.PRNGKey(1), input_dim=1,
         hidden_dim=cfg.gossip_hidden_dim,
@@ -125,35 +101,25 @@ def main() -> int:
         layer_num=cfg.gossip_layer_num)
     query_embs = neigh_mod.embed_queries(params, qry_cfg, qb)
 
-    mesh = Mesh(np.array(jax.devices()[:d]), ("graph",))
-
-    @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P(), P("graph"), P("graph"), P()),
-             out_specs=P("graph"))
-    def run_one(gp, shard, xc, q_emb):
-        shard = jax.tree_util.tree_map(lambda a: a[0], shard)
-        return halo_gossip_single(gp, shard, xc[0], q_emb)[None]  # [1,n_loc]
-
-    xcols = partition_node_values(part, x_all[order])  # [D, n_loc, Q]
     t0 = time.perf_counter()
-    refined = np.empty((n, n_q), np.float32)
-    with mesh:
-        fn = jax.jit(run_one)
-        for qi in range(n_q):
-            out = np.asarray(fn(gparams, part, xcols[:, :, qi],
-                                query_embs[qi]))  # [D, n_loc]
-            refined[:, qi] = (unpartition_nodes(part, out)
-                              + x_all[order][:, qi])
+    refined = serve_gossip_counts(gparams, g, x_all, query_embs,
+                                  n_devices=d)
     t_s2 = time.perf_counter() - t0
-    # back to original node order, graph-level counts
-    refined_orig = np.empty_like(refined)
-    refined_orig[order] = refined
-    graphlet = np.maximum(np.round(refined_orig), 0).sum(0)
+    graphlet = np.maximum(np.round(refined), 0).sum(0)
     assert np.all(np.isfinite(graphlet))
-    print(f"stage 2 (halo, D={d}): partition {t_part:.1f}s, "
-          f"predict {t_s2:.1f}s")
+    # max shard occupancy, recomputed for the report
+    from desco_tpu.parallel.halo import locality_order, partition_typed_graph
+    from desco_tpu.batch.build import gossip_sample as _gs
+    s = _gs(g, x_all)
+    order = locality_order(n, s.edge_src, s.edge_dst, method="metis")
+    inv = np.empty(n, np.int64); inv[order] = np.arange(n)
+    part = partition_typed_graph(
+        n, s.node_type[order], x_all[order],
+        inv[s.edge_src].astype(np.int32), inv[s.edge_dst].astype(np.int32),
+        s.edge_type, d, n_types=2)
+    print(f"stage 2 (halo, D={d}): partition+predict {t_s2:.1f}s")
     print(f"graphlet counts (first 5 queries): {graphlet[:5].tolist()}")
-    print(f"TOTAL {t_prep + t_s1 + t_part + t_s2:.1f}s — no device ever "
+    print(f"TOTAL {t_prep + t_s1 + t_s2:.1f}s — no device ever "
           f"held more than {part.n_loc}/{n} nodes in stage 2")
     return 0
 

@@ -647,3 +647,63 @@ def halo_gossip_step_fn(tx, mesh, axis: str = "graph"):
         return params, opt_state, loss
 
     return step
+
+
+# ------------------------------------------------------ serving (halo)
+def serve_gossip_counts(gparams, graph, x_all: np.ndarray, query_embs,
+                        n_devices: int = 0,
+                        locality: str = "metis") -> np.ndarray:
+    """Gossip-refined per-node counts for ONE large graph, halo-sharded
+    so no device ever holds the whole graph (the production entry for
+    P2P/Astro-scale inputs; the reference runs such graphs whole on one
+    device, data.py:753-886).
+
+    x_all: [n_nodes, Q] stage-1 counts scattered to node rows (zeros for
+    skipped nodes — GossipDataset.apply_neighborhood_count semantics,
+    workload.py:110-112). Returns [n_nodes, Q] refined counts
+    (residual + input), numerically matching the single-device
+    ``gossip_predict`` (tests/test_halo.py parity family).
+
+    Direction bits are computed on ORIGINAL node ids (src < dst) before
+    locality relabeling, exactly like the packed path."""
+    from functools import partial
+
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from ..batch.build import gossip_sample
+
+    n = graph.n_nodes
+    n_q = x_all.shape[1]
+    d = n_devices or len(jax.devices())
+    s = gossip_sample(graph, x_all.astype(np.float32))
+
+    order = locality_order(n, s.edge_src, s.edge_dst, method=locality)
+    inv = np.empty(n, np.int64)
+    inv[order] = np.arange(n)
+    part = partition_typed_graph(
+        n, s.node_type[order], s.x[order],
+        inv[s.edge_src].astype(np.int32), inv[s.edge_dst].astype(np.int32),
+        s.edge_type, d, n_types=2)
+
+    mesh = Mesh(np.asarray(jax.devices()[:d]), ("graph",))
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(), P("graph"), P("graph"), P()),
+             out_specs=P("graph"))
+    def run_one(gp, shard, xc, q_emb):
+        shard = jax.tree_util.tree_map(lambda a: a[0], shard)
+        return halo_gossip_single(gp, shard, xc[0], q_emb)[None]
+
+    x_loc = x_all[order]
+    xcols = partition_node_values(part, x_loc)        # [D, n_loc, Q]
+    refined = np.empty((n, n_q), np.float32)
+    with mesh:
+        fn = jax.jit(run_one)
+        for qi in range(n_q):
+            resid = np.asarray(fn(gparams, part, xcols[:, :, qi],
+                                  query_embs[qi]))     # [D, n_loc]
+            refined[:, qi] = (unpartition_nodes(part, resid)
+                              + x_loc[:, qi])
+    out = np.empty_like(refined)
+    out[order] = refined
+    return out

@@ -228,25 +228,80 @@ class CountingService:
             node_counts = apply_verified_override(
                 node_counts, counts, verified, stage.nindex)
             graphlet = stage.workload.aggregate_node_counts(node_counts)
-        else:
-            node_counts = np.zeros((stage.workload.total_nodes,
-                                    counts.shape[1]), counts.dtype)
-            rows = np.nonzero(np.asarray(stage.nindex.indicator))[0]
-            node_counts[rows] = counts
-            graphlet = stage.workload.aggregate_neighborhood_counts(
-                counts, stage.nindex)
+            return CountResult(
+                graphlet_counts=np.round(np.maximum(graphlet, 0.0)),
+                node_counts=node_counts,
+                neighborhood_counts=counts,
+                verified_rows=verified,
+                refined=True,
+            )
+        return self._package_unrefined(stage, counts, verified)
 
+    @staticmethod
+    def _package_unrefined(stage, counts, verified) -> CountResult:
+        node_counts = np.zeros((stage.workload.total_nodes,
+                                counts.shape[1]), counts.dtype)
+        rows = np.nonzero(np.asarray(stage.nindex.indicator))[0]
+        node_counts[rows] = counts
+        graphlet = stage.workload.aggregate_neighborhood_counts(
+            counts, stage.nindex)
         return CountResult(
             graphlet_counts=np.round(np.maximum(graphlet, 0.0)),
             node_counts=node_counts,
             neighborhood_counts=counts,
             verified_rows=verified,
-            refined=bool(refine),
+            refined=False,
         )
 
     def count_graph(self, graph: Graph, **kw) -> np.ndarray:
         """[n_queries] counts for a single graph."""
         return self.count([graph], **kw).graphlet_counts[0]
+
+    def count_large_graph(self, graph: Graph,
+                          n_devices: int = 0,
+                          refine: Optional[bool] = None) -> CountResult:
+        """Single-LARGE-graph serving (P2P/Astro scale): stage 1 runs
+        through the standard bounded decomposition (the working set is
+        depth-d neighborhoods regardless of graph size), and the gossip
+        stage — which must see the WHOLE graph — runs halo-sharded over
+        a ``graph`` mesh axis so no device ever holds the full graph
+        (parallel/halo.serve_gossip_counts). Guards (clamp, verified-row
+        override) apply exactly as in ``count``. ``n_devices=0`` uses
+        all visible devices."""
+        if refine is None:
+            refine = self.gossip_params is not None
+        stage = prepare_stage_data(
+            self.cfg, [graph], "__serve__", need_truth=False,
+            capacities=self._select_neigh_caps)
+        counts, verified = neighborhood_predictions(
+            self.neigh_params, self.tgt_cfg, self.qry_cfg,
+            self.query_batch, stage, self.cfg, return_verified=True,
+            mesh=self.mesh)
+        if not refine:
+            return self._package_unrefined(stage, counts, verified)
+
+        from .parallel.halo import serve_gossip_counts
+
+        x_all = np.zeros((graph.n_nodes, counts.shape[1]), np.float32)
+        x_all[np.asarray(stage.nindex.indicator)] = counts.astype(
+            np.float32)
+        node_counts = serve_gossip_counts(
+            self.gossip_params, graph, x_all, self.query_embs,
+            n_devices=n_devices)
+        if self.cfg.clamp_counts:
+            node_counts = clamp_node_counts(
+                node_counts, stage, self.cfg,
+                canonical_type=self.tgt_cfg.canonical_type)
+        node_counts = apply_verified_override(
+            node_counts, counts, verified, stage.nindex)
+        graphlet = stage.workload.aggregate_node_counts(node_counts)
+        return CountResult(
+            graphlet_counts=np.round(np.maximum(graphlet, 0.0)),
+            node_counts=node_counts,
+            neighborhood_counts=counts,
+            verified_rows=verified,
+            refined=True,
+        )
 
     def count_stream(self, requests, refine: Optional[bool] = None,
                      prefetch: int = 1):

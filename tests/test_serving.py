@@ -130,6 +130,28 @@ def test_service_dp_mesh_exactness(ckpts):
     np.testing.assert_array_equal(r1.verified_rows, r8.verified_rows)
 
 
+def test_count_large_graph_matches_count(ckpts):
+    """Halo-sharded single-graph serving == the packed-batch path on a
+    graph small enough to run both ways (halo parity family)."""
+    np_path, gp_path, _ = ckpts
+    svc = CountingService(np_path, gp_path)
+    [g] = generate_synthetic(1, min_size=55, max_size=60, seed=33)
+
+    want = svc.count([g])
+    got = svc.count_large_graph(g, n_devices=4)
+    assert got.refined
+    np.testing.assert_allclose(got.node_counts, want.node_counts,
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(got.graphlet_counts, want.graphlet_counts,
+                               atol=1.0)  # rounding at eps boundaries
+
+    # unrefined path shares the packaging
+    got_u = svc.count_large_graph(g, refine=False)
+    want_u = svc.count([g], refine=False)
+    np.testing.assert_array_equal(got_u.graphlet_counts,
+                                  want_u.graphlet_counts)
+
+
 def test_service_capacity_buckets(ckpts):
     np_path, gp_path, _ = ckpts
     svc = CountingService(np_path, gp_path)
