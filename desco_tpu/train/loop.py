@@ -127,6 +127,12 @@ def run_training(
     train_dev = to_device_list(train_batches, n_dp)
     val_dev = to_device_list(val_batches) if val_batches else None
     n_train = len(train_dev)
+    # live (non-pad) edges per epoch, for the per-epoch edges/s counter
+    from ..batch.packed import PAD_EDGE_TYPE
+
+    epoch_edges = int(sum(
+        (np.asarray(b.edge_type) != PAD_EDGE_TYPE).sum()
+        for b in train_batches))
 
     # donated carry (params, opt, rng, loss_sum): buffers reused in
     # place, rng split inside the jit, loss accumulated on device
@@ -206,7 +212,8 @@ def run_training(
                                 extra={"epoch": epoch, "val_loss": best_val})
         if log_every and (epoch % log_every == 0 or epoch == epochs - 1):
             log_fn(f"epoch {epoch:4d} train {tl:.5f} val {vl:.5f} "
-                   f"lr {sched.lr:.2e} {times[-1]:.2f}s")
+                   f"lr {sched.lr:.2e} {times[-1]:.2f}s "
+                   f"{epoch_edges / max(times[-1], 1e-9) / 1e6:.1f}M edges/s")
         if ckpt_path and snapshot_every and (
                 epoch % snapshot_every == 0 or epoch == epochs - 1):
             save_checkpoint(
