@@ -152,6 +152,40 @@ def test_count_large_graph_matches_count(ckpts):
                                   want_u.graphlet_counts)
 
 
+def test_serve_daemon_protocol(ckpts):
+    """serve.py line-JSON protocol: ordered responses, error isolation,
+    refine routing (drives handle/serve_lines in-process)."""
+    import io
+    import json
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent.parent))
+    import serve as serve_cli
+
+    np_path, gp_path, _ = ckpts
+    svc = CountingService(np_path, gp_path)
+    reqs = [
+        json.dumps({"id": 1, "graphs": [
+            {"n": 4, "edges": [[0, 1], [1, 2], [2, 0], [2, 3]]}]}),
+        "garbage line",
+        json.dumps({"id": 3, "graphs": [
+            {"n": 3, "edges": [[0, 1], [1, 2]]}], "refine": False,
+            "node_counts": True}),
+        "quit",
+        json.dumps({"id": 99, "graphs": []}),  # after quit: ignored
+    ]
+    out = io.StringIO()
+    serve_cli.serve_lines(svc, iter(r + "\n" for r in reqs), out,
+                          large_threshold=5000)
+    lines = [json.loads(x) for x in out.getvalue().splitlines()]
+    assert [r.get("id") for r in lines] == [1, None, 3]
+    assert lines[0]["refined"] is True
+    assert len(lines[0]["graphlet_counts"][0]) == 29
+    assert "error" in lines[1]
+    assert lines[2]["refined"] is False
+    assert len(lines[2]["node_counts"]) == 3
+
+
 def test_service_capacity_buckets(ckpts):
     np_path, gp_path, _ = ckpts
     svc = CountingService(np_path, gp_path)
