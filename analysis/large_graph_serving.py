@@ -21,8 +21,6 @@ import argparse
 import sys
 import tempfile
 import time
-from functools import partial
-
 import numpy as np
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
@@ -102,25 +100,15 @@ def main() -> int:
     query_embs = neigh_mod.embed_queries(params, qry_cfg, qb)
 
     t0 = time.perf_counter()
-    refined = serve_gossip_counts(gparams, g, x_all, query_embs,
-                                  n_devices=d)
+    refined, stats = serve_gossip_counts(gparams, g, x_all, query_embs,
+                                         n_devices=d, return_stats=True)
     t_s2 = time.perf_counter() - t0
     graphlet = np.maximum(np.round(refined), 0).sum(0)
     assert np.all(np.isfinite(graphlet))
-    # max shard occupancy, recomputed for the report
-    from desco_tpu.parallel.halo import locality_order, partition_typed_graph
-    from desco_tpu.batch.build import gossip_sample as _gs
-    s = _gs(g, x_all)
-    order = locality_order(n, s.edge_src, s.edge_dst, method="metis")
-    inv = np.empty(n, np.int64); inv[order] = np.arange(n)
-    part = partition_typed_graph(
-        n, s.node_type[order], x_all[order],
-        inv[s.edge_src].astype(np.int32), inv[s.edge_dst].astype(np.int32),
-        s.edge_type, d, n_types=2)
     print(f"stage 2 (halo, D={d}): partition+predict {t_s2:.1f}s")
     print(f"graphlet counts (first 5 queries): {graphlet[:5].tolist()}")
     print(f"TOTAL {t_prep + t_s1 + t_s2:.1f}s — no device ever "
-          f"held more than {part.n_loc}/{n} nodes in stage 2")
+          f"held more than {stats['n_loc']}/{n} nodes in stage 2")
     return 0
 
 

@@ -652,7 +652,8 @@ def halo_gossip_step_fn(tx, mesh, axis: str = "graph"):
 # ------------------------------------------------------ serving (halo)
 def serve_gossip_counts(gparams, graph, x_all: np.ndarray, query_embs,
                         n_devices: int = 0,
-                        locality: str = "metis") -> np.ndarray:
+                        locality: str = "metis",
+                        return_stats: bool = False):
     """Gossip-refined per-node counts for ONE large graph, halo-sharded
     so no device ever holds the whole graph (the production entry for
     P2P/Astro-scale inputs; the reference runs such graphs whole on one
@@ -662,7 +663,9 @@ def serve_gossip_counts(gparams, graph, x_all: np.ndarray, query_embs,
     skipped nodes — GossipDataset.apply_neighborhood_count semantics,
     workload.py:110-112). Returns [n_nodes, Q] refined counts
     (residual + input), numerically matching the single-device
-    ``gossip_predict`` (tests/test_halo.py parity family).
+    ``gossip_predict`` (tests/test_halo.py parity family). With
+    ``return_stats`` also returns {"n_loc", "n_devices"} — the max
+    per-device node occupancy actually served.
 
     Direction bits are computed on ORIGINAL node ids (src < dst) before
     locality relabeling, exactly like the packed path."""
@@ -706,4 +709,6 @@ def serve_gossip_counts(gparams, graph, x_all: np.ndarray, query_embs,
                               + x_loc[:, qi])
     out = np.empty_like(refined)
     out[order] = refined
+    if return_stats:
+        return out, {"n_loc": int(part.n_loc), "n_devices": d}
     return out

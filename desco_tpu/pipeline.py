@@ -394,6 +394,8 @@ def prepare_gossip_batches(
 ) -> List[PackedGraphs]:
     samples = stage.workload.gossip_samples(neigh_counts, stage.nindex,
                                             stage.truth)
+    if callable(capacities):  # serving bucket selection sees the samples
+        capacities = capacities(samples)
     caps = capacities or auto_capacities(samples, g_cap=cfg.gossip_batch_size)
     return pack_samples(samples, *caps, n_queries=stage.truth.shape[1])
 

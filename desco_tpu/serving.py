@@ -47,6 +47,8 @@ from .pipeline import (
     clamp_node_counts,
     model_configs,
     neighborhood_predictions,
+    pipeline_queries,
+    prepare_gossip_batches,
     prepare_stage_data,
 )
 from .train.checkpoint import load_checkpoint
@@ -167,6 +169,8 @@ class CountingService:
         """Bucketed, monotone-growing pinned capacities (see __init__)."""
         from .batch.packed import auto_capacities
 
+        if not samples:  # edgeless/empty request: caller short-circuits
+            return (128, 512, 1)
         g_target = 1
         while g_target < min(len(samples), g_cap_max):
             g_target *= 2
@@ -204,8 +208,22 @@ class CountingService:
         return self._pin_caps(self._neigh_buckets, samples,
                               self.cfg.neigh_batch_size)
 
+    def _empty_result(self, stage) -> CountResult:
+        """All-zero counts: every canonical neighborhood is edgeless
+        (or the request had no graphs) — nothing can host an occurrence."""
+        n_q = len(pipeline_queries(self.cfg))
+        return CountResult(
+            graphlet_counts=np.zeros((len(stage.workload.graphs), n_q)),
+            node_counts=np.zeros((stage.workload.total_nodes, n_q)),
+            neighborhood_counts=np.zeros((0, n_q)),
+            verified_rows=np.zeros(0, np.int64),
+            refined=False,
+        )
+
     def _finish_request(self, stage, refine: bool) -> CountResult:
         """Device stages + guards for one prepared request."""
+        if not stage.samples:
+            return self._empty_result(stage)
         counts, verified = neighborhood_predictions(
             self.neigh_params, self.tgt_cfg, self.qry_cfg,
             self.query_batch, stage, self.cfg, return_verified=True,
@@ -270,9 +288,13 @@ class CountingService:
         all visible devices."""
         if refine is None:
             refine = self.gossip_params is not None
+        if refine and self.gossip_params is None:
+            raise ValueError("refine=True but no gossip checkpoint loaded")
         stage = prepare_stage_data(
             self.cfg, [graph], "__serve__", need_truth=False,
             capacities=self._select_neigh_caps)
+        if not stage.samples:
+            return self._empty_result(stage)
         counts, verified = neighborhood_predictions(
             self.neigh_params, self.tgt_cfg, self.qry_cfg,
             self.query_batch, stage, self.cfg, return_verified=True,
@@ -313,49 +335,72 @@ class CountingService:
         ``prepare_stage_data`` up to ``prefetch`` requests ahead while
         the main thread drives the TPU. Yields ``CountResult`` in
         request order. Results are bit-identical to per-request
-        ``count`` calls (tests/test_serving.py)."""
-        import queue
-        import threading
-
+        ``count`` calls (tests/test_serving.py). Abandoning the
+        iterator early (break / close) stops and joins the producer."""
         if refine is None:
             refine = self.gossip_params is not None
         if refine and self.gossip_params is None:
             raise ValueError("refine=True but no gossip checkpoint loaded")
+        return self._stream(requests, refine, prefetch)
+
+    def _stream(self, requests, refine: bool, prefetch: int):
+        import queue
+        import threading
 
         q: "queue.Queue" = queue.Queue(maxsize=max(1, prefetch))
         SENTINEL = object()
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.25)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for graphs in requests:
+                    if stop.is_set():
+                        return
                     stage = prepare_stage_data(
                         self.cfg, list(graphs), "__serve__",
                         need_truth=False,
                         capacities=self._select_neigh_caps)
-                    q.put(stage)
+                    if not put(stage):
+                        return
             except BaseException as e:  # surface in consumer
-                q.put(e)
+                put(e)
             finally:
-                q.put(SENTINEL)
+                put(SENTINEL)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is SENTINEL:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield self._finish_request(item, refine)
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is SENTINEL:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield self._finish_request(item, refine)
+        finally:
+            # consumer gone (break/close/exception): unblock + reap the
+            # producer so no thread or prepared StageData lingers
+            stop.set()
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=10)
 
     # --------------------------------------------------------- internals
     def _repack_gossip(self, stage, counts):
-        samples = stage.workload.gossip_samples(counts, stage.nindex,
-                                                stage.truth)
-        caps = self._pin_caps(self._gossip_buckets, samples,
-                              self.cfg.gossip_batch_size)
-        from .batch.packed import pack_samples
-
-        return pack_samples(samples, *caps,
-                            n_queries=stage.truth.shape[1])
+        return prepare_gossip_batches(
+            self.cfg, stage, counts,
+            capacities=lambda samples: self._pin_caps(
+                self._gossip_buckets, samples,
+                self.cfg.gossip_batch_size))

@@ -105,6 +105,14 @@ def run_training(
     from .checkpoint import load_checkpoint
 
     opt_state = tx.init(params)
+    # live (non-pad) edges per epoch, for the per-epoch edges/s counter
+    # — counted BEFORE DP padding (pad replica batches carry zero weight
+    # but real edge types)
+    from ..batch.packed import PAD_EDGE_TYPE
+
+    epoch_edges = int(sum(
+        (np.asarray(b.edge_type) != PAD_EDGE_TYPE).sum()
+        for b in train_batches))
     n_dp = mesh.devices.size if mesh is not None else 1
     if mesh is not None:
         train_batches = pad_batches_to_multiple(train_batches, n_dp)
@@ -127,12 +135,6 @@ def run_training(
     train_dev = to_device_list(train_batches, n_dp)
     val_dev = to_device_list(val_batches) if val_batches else None
     n_train = len(train_dev)
-    # live (non-pad) edges per epoch, for the per-epoch edges/s counter
-    from ..batch.packed import PAD_EDGE_TYPE
-
-    epoch_edges = int(sum(
-        (np.asarray(b.edge_type) != PAD_EDGE_TYPE).sum()
-        for b in train_batches))
 
     # donated carry (params, opt, rng, loss_sum): buffers reused in
     # place, rng split inside the jit, loss accumulated on device

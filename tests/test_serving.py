@@ -152,6 +152,48 @@ def test_count_large_graph_matches_count(ckpts):
                                   want_u.graphlet_counts)
 
 
+def test_service_degenerate_requests(ckpts):
+    """Edgeless graphs / empty requests return zeros, refine misuse on
+    the large-graph path raises early, abandoned streams reap the
+    producer thread (code-review regressions)."""
+    import threading
+
+    from desco_tpu.graph import Graph
+
+    np_path, gp_path, _ = ckpts
+    svc = CountingService(np_path, gp_path)
+
+    # edgeless graph: every neighborhood is dropped -> all-zero counts
+    g0 = Graph(5, np.zeros((0, 2), np.int32))
+    res = svc.count([g0])
+    assert res.graphlet_counts.shape == (1, 29)
+    assert not res.graphlet_counts.any()
+    assert res.node_counts.shape == (5, 29)
+    # empty request
+    res = svc.count([])
+    assert res.graphlet_counts.shape == (0, 29)
+
+    # refine guard on the halo path (count already had it)
+    svc_n = CountingService(np_path)
+    with pytest.raises(ValueError, match="gossip"):
+        svc_n.count_large_graph(g0, refine=True)
+    with pytest.raises(ValueError, match="gossip"):
+        svc_n.count_stream([[g0]], refine=True)  # raises at CALL time
+
+    # abandoning a stream mid-way stops and joins the producer
+    before = threading.active_count()
+    reqs = [generate_synthetic(2, min_size=8, max_size=14, seed=s)
+            for s in range(6)]
+    for res in svc.count_stream(reqs, prefetch=2):
+        break  # consumer walks away
+    deadline = 50
+    while threading.active_count() > before and deadline:
+        import time
+        time.sleep(0.1)
+        deadline -= 1
+    assert threading.active_count() <= before
+
+
 def test_serve_daemon_protocol(ckpts):
     """serve.py line-JSON protocol: ordered responses, error isolation,
     refine routing (drives handle/serve_lines in-process)."""
