@@ -78,6 +78,39 @@ def test_relabel_suffix(tmp_path):
         assert np.all(np.diff(deg) <= 0)  # nonincreasing by node id
 
 
+def test_combined_syn_distribution():
+    """generate_combined_syn matches the documented deepsnap-ensemble
+    mix (combined_syn.py:10-142 + data.py:444-467): uniform sizes in
+    (min, max], all graphs connected, and a density/degree spread that
+    spans the four generator families (ER-sparse through PLC-clustered)
+    rather than a single generator's band."""
+    import networkx as nx
+
+    from desco_tpu.data.synthetic import generate_combined_syn
+
+    graphs = generate_combined_syn(120, min_size=5, max_size=41, seed=7)
+    assert len(graphs) == 120
+    sizes = np.array([g.n_nodes for g in graphs])
+    # BA/PLC shrink to largest CC, so sizes are <= the drawn value;
+    # the raw draw is uniform over [6, 41]
+    assert sizes.max() <= 41 and sizes.min() >= 2
+    assert (sizes >= 30).sum() > 10  # top of the range is populated
+    for g in graphs[:40]:
+        nxg = nx.Graph()
+        nxg.add_nodes_from(range(g.n_nodes))
+        nxg.add_edges_from(g.edges.tolist())
+        assert nx.is_connected(nxg), "ensemble graphs must be connected"
+    # generator diversity shows as a wide mean-degree spread: ER/WS sit
+    # near log2(n) edges-per-node, BA/PLC reach much denser regimes
+    mean_deg = np.array([2 * g.n_edges / max(g.n_nodes, 1)
+                         for g in graphs])
+    assert mean_deg.min() < 4.0 and mean_deg.max() > 8.0
+    # determinism: same seed -> identical dataset
+    again = generate_combined_syn(120, min_size=5, max_size=41, seed=7)
+    assert all(np.array_equal(a.edges, b.edges)
+               for a, b in zip(graphs, again))
+
+
 def test_extended_atlas_patterns():
     import networkx as nx
 
