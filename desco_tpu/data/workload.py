@@ -84,6 +84,76 @@ class Workload:
             np.save(path, truth)
         return truth
 
+    # ------------------------------------------- multi-host truth shards
+    def shard_path(self, query_ids: Sequence[int], shard: int,
+                   num_shards: int) -> str:
+        return os.path.join(
+            self.root, "CanonicalCountTruth",
+            _query_signature(query_ids)
+            + f".shard{shard}of{num_shards}.npz")
+
+    def compute_groundtruth_shard(
+        self, query_ids: Sequence[int], shard: int, num_shards: int,
+        queries: Optional[List[Graph]] = None,
+        num_workers: Optional[int] = None,
+    ) -> str:
+        """Exact truth for the graphs with ``gi % num_shards == shard``,
+        saved as a partial file. The multi-host materialization story
+        (SURVEY §2.2 task-parallelism row): each host runs one shard of
+        the VF2 workload — the reference's ProcessPoolExecutor
+        (workload.py:655-671) is single-host only — and
+        ``merge_groundtruth_shards`` assembles the canonical cache.
+        Returns the shard file path."""
+        if not 0 <= shard < num_shards:
+            raise ValueError(f"shard {shard} not in [0, {num_shards})")
+        if queries is None:
+            queries = atlas_queries(list(query_ids))
+        idx = list(range(shard, len(self.graphs), num_shards))
+        gs = [self.graphs[gi] for gi in idx]
+        if truth_native.native_available():
+            per_graph = truth_native.parallel_canonical_counts(
+                gs, queries, num_workers)
+        else:
+            per_graph = [py_canonical_counts(g, queries) for g in gs]
+        path = self.shard_path(query_ids, shard, num_shards)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        np.savez(path, **{str(gi): arr
+                          for gi, arr in zip(idx, per_graph)})
+        return path
+
+    def merge_groundtruth_shards(
+        self, query_ids: Sequence[int], num_shards: int,
+        cleanup: bool = False,
+    ) -> np.ndarray:
+        """Assemble shard files into the full (total_nodes, Q) truth and
+        write the canonical cache (so later runs hit the normal path).
+        Raises if any shard file is missing."""
+        out = np.zeros((self.total_nodes, len(query_ids)), np.float64)
+        seen = np.zeros(len(self.graphs), bool)
+        paths = []
+        for k in range(num_shards):
+            path = self.shard_path(query_ids, k, num_shards)
+            if not os.path.exists(path):
+                raise FileNotFoundError(f"missing truth shard: {path}")
+            paths.append(path)
+            with np.load(path) as z:
+                for key in z.files:
+                    gi = int(key)
+                    lo = self.node_offsets[gi]
+                    hi = self.node_offsets[gi + 1]
+                    out[lo:hi] = z[key]
+                    seen[gi] = True
+        if not seen.all():
+            missing = np.nonzero(~seen)[0][:5].tolist()
+            raise ValueError(f"graphs missing from shards: {missing}...")
+        cache = self.groundtruth_path(query_ids)
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        np.save(cache, out)
+        if cleanup:
+            for path in paths:
+                os.remove(path)
+        return out
+
     def compute_groundtruth_labeled(
         self, queries: List[Graph],
         num_workers: Optional[int] = None,

@@ -22,6 +22,14 @@ def main() -> int:
     p.add_argument("--query_sizes", type=int, nargs="+", default=[3, 4, 5])
     p.add_argument("--data_root", type=str, default="data")
     p.add_argument("--num_cpu", type=int, default=None)
+    p.add_argument("--shard", type=int, default=None,
+                   help="compute ONLY this truth shard (graphs with "
+                        "gi %% num_shards == shard) and exit — run one "
+                        "shard per host, then --merge_shards")
+    p.add_argument("--num_shards", type=int, default=1)
+    p.add_argument("--merge_shards", action="store_true",
+                   help="assemble all --num_shards shard files into the "
+                        "canonical truth cache, then build samples")
     args = p.parse_args()
 
     cfg = PipelineConfig(query_sizes=tuple(args.query_sizes),
@@ -30,6 +38,29 @@ def main() -> int:
     t0 = time.time()
     graphs = load_data(args.dataset, args.data_root)
     print(f"loaded {len(graphs)} graphs in {time.time() - t0:.1f}s")
+
+    if args.shard is not None or args.merge_shards:
+        import os
+
+        from desco_tpu.data.workload import Workload
+
+        wl = Workload(graphs, root=os.path.join(cfg.data_root,
+                                                args.dataset),
+                      name=args.dataset)
+        qids = gen_query_ids(list(args.query_sizes))
+        if args.shard is not None:
+            t0 = time.time()
+            path = wl.compute_groundtruth_shard(
+                qids, args.shard, args.num_shards,
+                num_workers=args.num_cpu)
+            print(f"shard {args.shard}/{args.num_shards} -> {path} in "
+                  f"{time.time() - t0:.1f}s")
+            return 0
+        t0 = time.time()
+        truth = wl.merge_groundtruth_shards(qids, args.num_shards)
+        print(f"merged {args.num_shards} shards -> "
+              f"{truth.shape} truth in {time.time() - t0:.1f}s")
+        # fall through: build the sample caches against the merged truth
 
     t0 = time.time()
     stage = prepare_stage_data(cfg, graphs, args.dataset)

@@ -97,3 +97,35 @@ def test_canonical_sums_match_neighborhood_counts(rng):
         # the max original id -> v is the max local id
         assert local_canon == nb.graph.n_nodes - 1
         np.testing.assert_array_equal(full[v], cc[local_canon])
+
+
+def test_sharded_truth_matches_full(rng, tmp_path):
+    """Multi-host truth sharding: per-shard files merged by
+    merge_groundtruth_shards equal the single-host computation, and the
+    merged result lands in the canonical cache."""
+    import os
+
+    from desco_tpu.data.workload import Workload
+    from desco_tpu.graph import gen_query_ids
+    from tests.conftest import random_graph
+
+    graphs = [random_graph(rng, n, 0.3) for n in (8, 10, 12, 9, 11)]
+    qids = gen_query_ids([3, 4])
+    full = Workload(graphs, root=str(tmp_path / "full"),
+                    name="t").compute_groundtruth(qids, use_cache=False)
+
+    wl = Workload(graphs, root=str(tmp_path / "sharded"), name="t")
+    for k in range(3):
+        wl.compute_groundtruth_shard(qids, k, 3)
+    merged = wl.merge_groundtruth_shards(qids, 3, cleanup=True)
+    np.testing.assert_array_equal(merged, full)
+    assert os.path.exists(wl.groundtruth_path(qids))  # canonical cache
+    assert not os.path.exists(wl.shard_path(qids, 0, 3))  # cleaned
+
+    # a missing shard is a hard error, not silent zeros
+    wl2 = Workload(graphs, root=str(tmp_path / "partial"), name="t")
+    wl2.compute_groundtruth_shard(qids, 0, 2)
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        wl2.merge_groundtruth_shards(qids, 2)
