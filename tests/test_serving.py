@@ -228,6 +228,41 @@ def test_serve_daemon_protocol(ckpts):
     assert len(lines[2]["node_counts"]) == 3
 
 
+def test_serve_daemon_tcp(ckpts):
+    """serve.py --tcp: line-JSON over a real socket round-trips."""
+    import json
+    import socket
+    import sys
+    import threading
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent.parent))
+    import serve as serve_cli
+
+    np_path, _, _ = ckpts
+    svc = CountingService(np_path)
+    srv = socket.create_server(("127.0.0.1", 0))
+    port = srv.getsockname()[1]
+
+    def accept_one():
+        conn, _ = srv.accept()
+        with conn, conn.makefile("r") as rf, conn.makefile("w") as wf:
+            serve_cli.serve_lines(svc, rf, wf, large_threshold=5000)
+
+    t = threading.Thread(target=accept_one, daemon=True)
+    t.start()
+    with socket.create_connection(("127.0.0.1", port), timeout=30) as c:
+        f_in, f_out = c.makefile("r"), c.makefile("w")
+        f_out.write(json.dumps({"id": 5, "graphs": [
+            {"n": 3, "edges": [[0, 1], [1, 2], [2, 0]]}]}) + "\n")
+        f_out.write("quit\n")
+        f_out.flush()
+        resp = json.loads(f_in.readline())
+    t.join(timeout=30)
+    srv.close()
+    assert resp["id"] == 5
+    assert len(resp["graphlet_counts"][0]) == 29
+
+
 def test_service_capacity_buckets(ckpts):
     np_path, gp_path, _ = ckpts
     svc = CountingService(np_path, gp_path)
