@@ -32,6 +32,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="depth of the canonical neighborhood")
     n.add_argument("--use_hetero", action=argparse.BooleanOptionalAction,
                    default=True)
+    n.add_argument("--neigh_order", type=int, default=3, choices=[3, 4],
+                   help="SHMP edge-typing order: 3 = triangle/tride "
+                        "tconv (paper), 4 = 4-node orbit classes")
     n.add_argument("-t", "--use_tconv", action=argparse.BooleanOptionalAction,
                    default=True,
                    help="triangle convolution (a case of SHMP)")
@@ -94,6 +97,7 @@ def to_pipeline_config(args: argparse.Namespace) -> PipelineConfig:
         depth=args.depth,
         use_hetero=args.use_hetero,
         use_tconv=args.use_tconv,
+        order=args.neigh_order,
         conv_type=args.neigh_conv_type,
         neigh_layer_num=args.neigh_layer_num,
         neigh_hidden_dim=args.neigh_hidden_dim,

@@ -228,12 +228,13 @@ class Workload:
             np.array(indicator, dtype=bool))
 
     def _neigh_cache_path(self, depth, use_tconv, use_hetero,
-                          use_node_feat=False) -> str:
+                          use_node_feat=False, order=3) -> str:
         # keyed by depth/typing flags like the reference's processed file
         # names (workload.py:197-213)
         suffix = ("" if use_hetero else "_homo") + (
             "_tconv" if use_tconv else "") + (
-            "_node_feat" if use_node_feat else "")
+            "_node_feat" if use_node_feat else "") + (
+            f"_order{order}" if order != 3 else "")
         return os.path.join(
             self.root, "NeighborhoodDataset",
             f"neighs_depth_{depth}{suffix}")
@@ -245,19 +246,27 @@ class Workload:
         num_workers: Optional[int] = None,
         use_cache: bool = True,
         use_node_feat: bool = False,
+        order: int = 3,
     ) -> tuple[List[GraphSample], NeighborhoodIndex]:
         """Canonical-neighborhood GraphSamples with truth labels attached
         (the reference's NeighborhoodDataset, workload.py:153-324).
         Structure (not labels) is cached on disk; truth columns are
-        re-applied per query set."""
+        re-applied per query set. ``order=4`` types edges by 4-node
+        orbit class x canonical combo (33 types, graph/orbits.py — the
+        to_hetero(order=4) expansion the reference declares but never
+        wires, lightning_model.py:441-458). Orbit typing enumerates
+        induced 4-sets per neighborhood (exact, host Python) — use it
+        at molecular scale (<~100-node graphs, the regime the reference
+        evaluates); the order-3 tconv path is the production default."""
         if truth is None:
             truth = self.compute_groundtruth(query_ids,
                                              num_workers=num_workers)
         cache = self._neigh_cache_path(depth, use_tconv, use_hetero,
-                                       use_node_feat)
+                                       use_node_feat, order)
         if use_cache and os.path.exists(cache):
             samples, nindex = self._load_neigh_cache(cache)
-        elif (use_hetero and use_tconv and truth_native.native_available()):
+        elif (order == 3 and use_hetero and use_tconv
+              and truth_native.native_available()):
             samples, nindex = self._native_fast_samples(
                 depth, use_node_feat, num_workers=num_workers)
             if use_cache:
@@ -270,7 +279,7 @@ class Workload:
                         if use_node_feat else None)
                 if use_hetero:
                     s = neighborhood_sample(nb, use_tconv=use_tconv,
-                                            x=feat)
+                                            x=feat, order=order)
                 else:
                     s = homogeneous_neighborhood_sample(nb)
                 samples.append(s)

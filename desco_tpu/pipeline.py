@@ -44,6 +44,10 @@ class PipelineConfig:
     depth: int = 4
     use_hetero: bool = True
     use_tconv: bool = True
+    # 3 = tconv triangle/tride typing (6 edge types, the paper config);
+    # 4 = 4-node-orbit typing (33 types — the to_hetero(order=4)
+    # expansion the reference declares but never wires)
+    order: int = 3
     conv_type: str = "SAGE"
     # neighborhood stage
     neigh_layer_num: int = 8
@@ -139,6 +143,7 @@ def model_configs(cfg: PipelineConfig):
     agg = cfg.agg_mode if cfg.agg_mode != "auto" else default_agg_mode()
     tgt = neighborhood_target_config(
         use_tconv=cfg.use_tconv, use_hetero=cfg.use_hetero,
+        order=cfg.order,
         input_dim=cfg.neigh_input_dim, hidden_dim=cfg.neigh_hidden_dim,
         output_dim=cfg.neigh_hidden_dim, layer_num=cfg.neigh_layer_num,
         conv_type=cfg.conv_type, dropout=cfg.neigh_dropout, agg_mode=agg)
@@ -195,7 +200,8 @@ def prepare_stage_data(
     samples, nindex = wl.neighborhood_samples(
         cfg.depth, cfg.query_ids, use_tconv=cfg.use_tconv,
         use_hetero=cfg.use_hetero, truth=truth,
-        use_node_feat=cfg.use_node_feature, use_cache=need_truth)
+        use_node_feat=cfg.use_node_feature, use_cache=need_truth,
+        order=cfg.order)
     if callable(capacities):  # serving bucket selection sees the samples
         capacities = capacities(samples)
     caps = capacities or auto_capacities(samples, g_cap=cfg.neigh_batch_size)

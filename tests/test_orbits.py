@@ -131,3 +131,38 @@ def test_order4_shmp_forward_smoke(rng):
     out = np.asarray(apply_shmp_core(params, cfg, b))
     assert np.all(np.isfinite(out))
     assert np.abs(out).sum() > 0
+
+
+def test_order4_pipeline_plumbing(rng, tmp_path):
+    """--neigh_order 4 flows PipelineConfig -> model_configs (33 edge
+    types) -> prepare_stage_data (orbit-typed samples) -> forward."""
+    import jax
+    import numpy as np
+
+    from desco_tpu.models.neighborhood import (
+        forward_counts,
+        init_neighborhood_model,
+    )
+    from desco_tpu.pipeline import (
+        PipelineConfig,
+        build_query_batch,
+        model_configs,
+        prepare_stage_data,
+    )
+    from tests.conftest import random_graph
+
+    cfg = PipelineConfig(order=4, neigh_layer_num=2, neigh_hidden_dim=8,
+                         depth=2, query_sizes=(3,),
+                         data_root=str(tmp_path))
+    tgt, qry = model_configs(cfg)
+    assert tgt.n_edge_types == 33
+    graphs = [random_graph(rng, 12, 0.3) for _ in range(3)]
+    stage = prepare_stage_data(cfg, graphs, "o4", need_truth=False)
+    types = np.concatenate([np.asarray(s.edge_type)
+                            for s in stage.samples])
+    assert types.max() < 33
+    assert len(np.unique(types)) > 2  # orbit classes actually vary
+    params = init_neighborhood_model(jax.random.PRNGKey(0), tgt, qry)
+    qb = build_query_batch(cfg)
+    out = forward_counts(params, tgt, qry, stage.batches[0], qb)
+    assert np.all(np.isfinite(np.asarray(out)))
