@@ -228,6 +228,32 @@ def test_serve_daemon_protocol(ckpts):
     assert len(lines[2]["node_counts"]) == 3
 
 
+def test_serve_daemon_large_routing(ckpts):
+    """Single graphs >= large_threshold route to count_large_graph."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent.parent))
+    import serve as serve_cli
+
+    np_path, gp_path, _ = ckpts
+    svc = CountingService(np_path, gp_path)
+    calls = []
+    orig = svc.count_large_graph
+    svc.count_large_graph = lambda g, refine=None: (
+        calls.append(g.n_nodes) or orig(g, n_devices=2, refine=refine))
+    [g] = generate_synthetic(1, min_size=25, max_size=30, seed=2)
+    req = {"graphs": [{"n": g.n_nodes, "edges": g.edges.tolist()}]}
+    out = serve_cli.handle(svc, req, large_threshold=10)
+    assert calls == [g.n_nodes]
+    assert out["refined"] is True
+    # below threshold, or multi-graph: the packed path
+    calls.clear()
+    serve_cli.handle(svc, req, large_threshold=10_000)
+    serve_cli.handle(svc, {"graphs": req["graphs"] * 2},
+                     large_threshold=10)
+    assert calls == []
+
+
 def test_serve_daemon_tcp(ckpts):
     """serve.py --tcp: line-JSON over a real socket round-trips."""
     import json
