@@ -199,6 +199,14 @@ def main(argv=None) -> int:
               np.round(np.maximum(final_graphlet, 0)))
     _save_csv(output_dir, f"graphlet_truth_{args.test_dataset}.csv",
               wl.aggregate_node_counts(test_stage.truth))
+    # the test graphs themselves, for external analysis (the reference
+    # pickles nx graphs, main.py:444-449; flat arrays instead of pickle)
+    np.savez_compressed(
+        os.path.join(output_dir, f"test_graphs_{args.test_dataset}.npz"),
+        edges=np.concatenate([g.edges for g in test_graphs], axis=0),
+        edge_offsets=np.concatenate(
+            [[0], np.cumsum([g.n_edges for g in test_graphs])]),
+        n_nodes=np.array([g.n_nodes for g in test_graphs]))
 
     # -------------------------------------------------------- analysis
     metrics = evaluate_graphlet_counts(cfg, test_stage, counts["test"],
