@@ -88,6 +88,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "neighborhoods (top predicted tail, per query) "
                         "recounted exactly with the native VF2; 0 "
                         "disables")
+    o.add_argument("--compile_cache", type=str, default=None,
+                   help="persistent XLA compilation cache directory; "
+                        "re-runs of the same config reload compiled "
+                        "executables instead of recompiling")
     return p
 
 

@@ -98,11 +98,22 @@ class CountingService:
         config_overrides: Optional[dict] = None,
         cfg: Optional[PipelineConfig] = None,
         n_devices: int = 1,
+        compile_cache: Optional[str] = None,
     ) -> None:
         """``n_devices > 1`` (or -1 for all visible devices) shards every
         device forward over a ``data`` mesh axis (parallel/dp.py DP
-        serving) — bit-identical results, D batches per dispatch."""
+        serving) — bit-identical results, D batches per dispatch.
+
+        ``compile_cache``: directory for the persistent XLA compilation
+        cache; a service restart with the same checkpoints/buckets then
+        reloads compiled executables instead of re-tracing through the
+        compiler (cold start is compile-dominated, RESULTS.md)."""
         import jax
+
+        if compile_cache:
+            from .utils.compile_cache import enable_compilation_cache
+
+            enable_compilation_cache(compile_cache)
 
         if cfg is None:
             # peek at the checkpoint's saved config for rehydration

@@ -63,6 +63,11 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     cfg = to_pipeline_config(args)
 
+    if args.compile_cache:
+        from desco_tpu.utils.compile_cache import enable_compilation_cache
+
+        enable_compilation_cache(args.compile_cache)
+
     output_dir = args.output_dir or os.path.join(
         "output", args.test_dataset,
         datetime.datetime.now().strftime("%Y%m%d_%H%M%S"))

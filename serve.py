@@ -43,7 +43,8 @@ def build_service(args):
     return CountingService(
         args.neigh_ckpt, args.gossip_ckpt,
         config_overrides=overrides or None,
-        n_devices=args.n_devices)
+        n_devices=args.n_devices,
+        compile_cache=args.compile_cache)
 
 
 def handle(svc, req: dict, large_threshold: int) -> dict:
@@ -103,6 +104,11 @@ def main(argv=None) -> int:
     ap.add_argument("--tcp", default=None, metavar="HOST:PORT",
                     help="serve line-JSON over TCP instead of stdio")
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--compile_cache", default=None, metavar="DIR",
+                    help="persistent XLA compilation cache directory; "
+                         "restarts reload compiled executables instead "
+                         "of recompiling (cold start is "
+                         "compile-dominated)")
     args = ap.parse_args(argv)
 
     if args.platform:
