@@ -188,8 +188,11 @@ class CountingService:
         g_target = min(g_target, g_cap_max)
         caps = buckets.get(g_target)
         if not self._fit(caps, samples):
+            # slack>1: one compiled bucket shape absorbs slightly-larger
+            # follow-up requests (recompiles cost seconds via the tunnel)
             caps = self._grow(caps,
-                              auto_capacities(samples, g_cap=g_target))
+                              auto_capacities(samples, g_cap=g_target,
+                                              slack=1.2))
             # keep the slot count at the bucket key (auto_capacities
             # shrinks g_cap to len(samples)) so repeats share shapes
             caps = (caps[0], caps[1], g_target)
