@@ -84,8 +84,11 @@ def main() -> int:
          (params, batch, emb_q)),
         ("target tower (core+pool+post)", jax.jit(
             lambda p, b: nm.embed_targets(p, tgt, b)), (params, batch)),
+        # .sum() inside jit: the raw [N, 576] core output is ~40MB and
+        # would be read back over the device tunnel each timing window,
+        # dwarfing the compute being measured
         ("target core only", jax.jit(
-            lambda p, b: apply_shmp_core(p["target"], tgt, b)),
+            lambda p, b: apply_shmp_core(p["target"], tgt, b).sum()),
          (params, batch)),
         ("query tower", jax.jit(
             lambda p, q: nm.embed_queries(p, qry, q)), (params, qb)),
