@@ -67,26 +67,35 @@ def default_agg_mode() -> str:
 KS = CE // 128  # key sub-rows per chunk (keys stored [n_chunks, KS, 128])
 
 
-def _segsum_kernel(offs_ref, seg_hbm, msgs_hbm, out_ref,
-                   acc_ref, sbuf, mbuf, sem_s, sem_m,
-                   *, seg_tile: int, ce: int, gsz: int):
+def _segsum_kernel(offs_ref, gmin_ref, gmax_ref, seg_hbm, msgs_hbm,
+                   out_ref, acc_ref, sbuf0, sbuf1, mbuf0, mbuf1,
+                   sem_s0, sem_s1, sem_m0, sem_m1,
+                   *, seg_tile: int, ce: int, gsz: int, lanes: int):
     """One output tile of seg_tile segments; double-buffered chunk loop.
 
     Grid cells own many ce-edge chunks, so the next chunk's DMA overlaps
     the current chunk's matmuls; cells share at most one boundary chunk,
-    so the edge stream is fetched ~once total.
+    so the edge stream is fetched ~once total. The two chunk buffers are
+    SEPARATE scratch refs with a 2-unrolled pipeline (not a [2, ...]
+    scratch indexed by a dynamic slot): Mosaic rejects dynamic memref
+    slices whose minor dim is under the 128-lane tile, and the 64-lane
+    message path needs whole-ref access.
 
     Within a chunk, edges are processed in GROUPS of ``gsz`` (a multiple
     of 128): the keys are sorted, so a group's destinations land in
     (almost always) <= 2 adjacent 128-row slices of the accumulator —
-    build a [128, gsz] one-hot against each of the two slices and do ONE
-    MXU matmul per slice. Rare spans > 2 slices (boundary chunks, pad
-    tails, degree-1 runs) take a full-tile [seg_tile, gsz] fallback.
-    Larger ``ce`` amortizes DMA issue latency; larger ``gsz`` halves the
-    matmul count per edge but raises the fallback rate.
+    build a [256, gsz] one-hot against that window and do ONE MXU
+    matmul. Rare spans > 2 slices (boundary chunks, degree-1 runs) take
+    a full-tile [seg_tile, gsz] fallback. The window bounds come from
+    per-group (min, max) live-key scalars PRECOMPUTED in XLA and scalar-
+    prefetched — two scalar clamps per group instead of a vector
+    clip//min/max reduce chain over the keys (which cost ~26% of the
+    kernel before). Larger ``ce`` amortizes DMA issue latency; larger
+    ``gsz`` halves the matmul count per edge but raises the fallback
+    rate.
     """
-    ks = ce // 128
     gs = gsz // 128    # key sub-rows per group
+    gpc = ce // gsz    # groups per chunk
     i = pl.program_id(0)
     base = i * seg_tile
     lo = offs_ref[i]
@@ -100,19 +109,21 @@ def _segsum_kernel(offs_ref, seg_hbm, msgs_hbm, out_ref,
     c0 = lo // ce
     c1 = lax_ceil_div(hi, ce)
 
-    def get_dma(slot, c):
+    bufs = ((sbuf0, mbuf0, sem_s0, sem_m0),
+            (sbuf1, mbuf1, sem_s1, sem_m1))
+
+    def get_dma(c, sb, mb, ss, sm):
         return (
+            pltpu.make_async_copy(seg_hbm.at[c], sb, ss),
             pltpu.make_async_copy(
-                seg_hbm.at[c], sbuf.at[slot], sem_s.at[slot]),
-            pltpu.make_async_copy(
-                msgs_hbm.at[pl.ds(c * ce, ce), :], mbuf.at[slot],
-                sem_m.at[slot]),
+                msgs_hbm.at[pl.ds(c * ce, ce), :], mb, sm),
         )
 
-    @pl.when(c0 < c1)
-    def _():
-        for d in get_dma(0, c0):
-            d.start()
+    for p in range(2):
+        @pl.when(c0 + p < c1)
+        def _(p=p):
+            for d in get_dma(c0 + p, *bufs[p]):
+                d.start()
 
     rows256 = jax.lax.broadcasted_iota(jnp.int32, (256, 128), 0)
     rows_full = jax.lax.broadcasted_iota(jnp.int32, (seg_tile, 128), 0)
@@ -121,44 +132,64 @@ def _segsum_kernel(offs_ref, seg_hbm, msgs_hbm, out_ref,
         cols = [(rows == r[None, :]).astype(jnp.bfloat16) for r in rels]
         return cols[0] if len(cols) == 1 else jnp.concatenate(cols, 1)
 
-    def chunk_body(c, _):
-        slot = (c - c0) % 2
+    def lane_pad(r):
+        if lanes == 128:
+            return r
+        return jnp.concatenate(
+            [r, jnp.zeros((r.shape[0], 128 - lanes), jnp.float32)], 1)
 
-        @pl.when(c + 1 < c1)
-        def _():
-            for d in get_dma((c - c0 + 1) % 2, c + 1):
-                d.start()
-
-        for d in get_dma(slot, c):
+    def process(c, sb, mb, ss, sm):
+        for d in get_dma(c, sb, mb, ss, sm):
             d.wait()
-
-        for g in range(ce // gsz):
-            rels = [sbuf[slot, g * gs + j, :] - base for j in range(gs)]
-            t_lo = [jnp.clip(r, 0, seg_tile - 1) // 128 for r in rels]
-            t_a = jnp.min(jnp.stack([jnp.min(t) for t in t_lo]))
-            t_b = jnp.max(jnp.stack([jnp.max(t) for t in t_lo]))
-            m = mbuf[slot, g * gsz:(g + 1) * gsz, :]
+        m_all = mb[:]  # value load; group slicing below is value-level
+        for g in range(gpc):
+            # window slices from the prefetched per-group live-key range
+            # (min commutes with the monotone clip, so these scalar
+            # clamps equal the old per-edge clip//min/max reductions;
+            # empty groups decode to t_b=0 <= t_a+1 -> fast path whose
+            # one-hot matches nothing)
+            ga = gmin_ref[c * gpc + g]
+            gb = gmax_ref[c * gpc + g]
+            t_a = jnp.clip(ga - base, 0, seg_tile - 1) // 128
+            t_b = jnp.clip(gb - base, 0, seg_tile - 1) // 128
+            m = m_all if gpc == 1 else m_all[g * gsz:(g + 1) * gsz, :]
 
             @pl.when(t_b <= t_a + 1)
-            def _():
+            def _(g=g, m=m, t_a=t_a):
                 # ONE [256, gsz] one-hot covering both adjacent slices
                 # (clamped so the 256-row window stays inside the tile)
                 off = jnp.minimum(t_a * 128, seg_tile - 256)
-                p0 = one_hot([r - off for r in rels], rows256)
-                acc_ref[pl.ds(off, 256)] += jax.lax.dot_general(
+                shift = base + off
+                p0 = one_hot([sb[g * gs + j, :] - shift
+                              for j in range(gs)], rows256)
+                acc_ref[pl.ds(off, 256)] += lane_pad(jax.lax.dot_general(
                     p0, m, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32))
 
             @pl.when(t_b > t_a + 1)
-            def _():
-                p = one_hot(rels, rows_full)
-                acc_ref[:] += jax.lax.dot_general(
+            def _(g=g, m=m):
+                p = one_hot([sb[g * gs + j, :] - base
+                             for j in range(gs)], rows_full)
+                acc_ref[:] += lane_pad(jax.lax.dot_general(
                     p, m, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32))
+        # refill this buffer with the chunk two ahead
+        @pl.when(c + 2 < c1)
+        def _():
+            for d in get_dma(c + 2, sb, mb, ss, sm):
+                d.start()
+
+    def pair_body(cc, _):
+        c = c0 + 2 * cc
+        process(c, *bufs[0])
+
+        @pl.when(c + 1 < c1)
+        def _():
+            process(c + 1, *bufs[1])
         return 0
 
-    jax.lax.fori_loop(c0, c1, chunk_body, 0)
-    out_ref[:] = acc_ref[:]
+    jax.lax.fori_loop(0, lax_ceil_div(c1 - c0, 2), pair_body, 0)
+    out_ref[:] = acc_ref[:, :lanes]
 
 
 def lax_ceil_div(a, b: int):
@@ -187,10 +218,12 @@ def pallas_sorted_segment_sum(
     assert seg_tile >= 256, seg_tile  # fast path uses a 256-row window
     e, k = msgs.shape
     ks = ce // 128
-    # lanes stay 128: Mosaic rejects row-slices of VMEM memrefs whose
-    # minor dim is below the 128-lane tile ("slice shape along dim 1
-    # must be aligned to tiling"), so a native 64-lane path cannot
-    # slice per-group message blocks. The 64 -> 128 pad costs ~0.04 ms
+    # lanes stay 128: a 64-lane chunked-DMA path is not expressible on
+    # this toolchain — Mosaic rejects EVERY memref slice whose minor dim
+    # is under the 128-lane tile (2D ds+full-lane slices, HBM-pinned
+    # operands, and 3D .at[c] indexing all fail with "slice shape along
+    # dimension 1 must be aligned to tiling"), so chunk DMAs from a
+    # [E, 64] stream cannot be formed. The 64 -> 128 pad costs ~0.04 ms
     # per layer on the bench workload (pad_select fusion).
     lanes = LANES
     n_pad = ((n_segments + seg_tile - 1) // seg_tile) * seg_tile
@@ -205,6 +238,13 @@ def pallas_sorted_segment_sum(
     if e_pad != e:
         seg2 = jnp.concatenate(
             [seg2, jnp.full((e_pad - e,), np.int32(2 ** 30), jnp.int32)])
+    # per-group live-key range (scalar-prefetched window bounds): stream
+    # padding keys (>= 2^30) are excluded so pad tails stay on the fast
+    # path; an all-pad group decodes to (INT32_MAX, -1)
+    segg = seg2.reshape(e_pad // gsz, gsz)
+    live = segg < np.int32(2 ** 30)
+    gmin = jnp.min(jnp.where(live, segg, np.int32(2 ** 31 - 1)), axis=1)
+    gmax = jnp.max(jnp.where(live, segg, np.int32(-1)), axis=1)
     seg2 = seg2.reshape(e_pad // ce, ks, 128)
     if msgs.dtype == jnp.bfloat16 and k == lanes and e_pad == e:
         msgs2 = msgs
@@ -213,7 +253,7 @@ def pallas_sorted_segment_sum(
             msgs.astype(jnp.bfloat16))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=3,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),   # seg (flat, HBM)
@@ -221,19 +261,23 @@ def pallas_sorted_segment_sum(
         ],
         out_specs=pl.BlockSpec((seg_tile, lanes), lambda i, *_: (i, 0)),
         scratch_shapes=[
-            pltpu.VMEM((seg_tile, lanes), jnp.float32),    # acc
-            pltpu.VMEM((2, ks, 128), jnp.int32),           # seg chunks
-            pltpu.VMEM((2, ce, lanes), jnp.bfloat16),      # msg chunks
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((seg_tile, 128), jnp.float32),      # acc
+            pltpu.VMEM((ks, 128), jnp.int32),              # seg chunk 0
+            pltpu.VMEM((ks, 128), jnp.int32),              # seg chunk 1
+            pltpu.VMEM((ce, lanes), jnp.bfloat16),         # msg chunk 0
+            pltpu.VMEM((ce, lanes), jnp.bfloat16),         # msg chunk 1
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
         ],
     )
     out = pl.pallas_call(
         functools.partial(_segsum_kernel, seg_tile=seg_tile, ce=ce,
-                          gsz=gsz),
+                          gsz=gsz, lanes=lanes),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, lanes), jnp.float32),
-    )(offs, seg2, msgs2)
+    )(offs, gmin, gmax, seg2, msgs2)
     return out[:n_segments, :k]
 
 
@@ -273,8 +317,11 @@ def _fused_legacy(x, edge_src, keys, conv_w, n_types: int, n_nodes: int):
     zp = zp.at[:, :k].set(z.astype(jnp.bfloat16))
     dst = (keys // n_types).astype(jnp.int32)
     typ = (keys - dst * n_types).astype(jnp.int32)
+    # mode='clip': idx is always in-bounds by construction (typ clipped,
+    # src < n), and padding edges gather a zero row anyway (pad-node
+    # features are forced to zero) — skip XLA's fill-value select.
     idx = jnp.clip(typ, 0, n_types - 1) * n + edge_src.astype(jnp.int32)
-    msgs = jnp.take(zp, idx, axis=0, fill_value=0.0)
+    msgs = jnp.take(zp, idx, axis=0, mode="clip")
     return pallas_sorted_segment_sum(msgs, dst, n_nodes)[:, :k]
 
 
