@@ -74,8 +74,6 @@ def main() -> int:
             if do_gather:
                 msgs = jnp.take(zp, idx, axis=0, fill_value=0.0)
             else:
-                msgs = jnp.tile(zp[: batch.e_cap // (t_n * n) + 1],
-                                (1, 1))[: batch.e_cap]
                 msgs = jax.lax.dynamic_slice_in_dim(
                     jnp.tile(zp, (batch.e_cap // zp.shape[0] + 1, 1)),
                     0, batch.e_cap, 0)

@@ -4,7 +4,11 @@ variants of the inner loop on the real bench edge stream.
 Variants (all same DMA pattern / grid; some produce WRONG results — this
 is a timing probe, not a correctness harness):
 
-  full      — the shipped kernel
+  full      — the pre-optimization kernel structure ([2,...] slot-indexed
+              scratch, in-kernel min/max window chain) — the baseline the
+              scalar-prefetched window-bounds change was measured against;
+              the SHIPPED kernel (ops/pallas_segment.py) prefetches
+              per-group window bounds and splits the double buffers
   nowin     — window min/max reduce chain removed (off=0 fast path always)
   nohot     — nowin + one-hot build replaced by a constant P (matmul+RMW)
   nomm      — DMA + acc zero only (the DMA floor)

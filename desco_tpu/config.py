@@ -66,6 +66,10 @@ def build_parser() -> argparse.ArgumentParser:
     o.add_argument("--valid_dataset", type=str, default="Syn_1827")
     o.add_argument("--test_dataset", type=str, default="MUTAG")
     o.add_argument("--query_sizes", type=int, nargs="+", default=[3, 4, 5])
+    o.add_argument("--query_ids", type=int, nargs="+", default=None,
+                   help="explicit atlas query ids (overrides "
+                        "--query_sizes); accepts the extended 8-14-node "
+                        "patterns (ids 8000-14004, graph_atlas_plus)")
     o.add_argument("--num_cpu", type=int, default=8)
     o.add_argument("--data_root", type=str, default="data")
     o.add_argument("--output_dir", type=str, default=None)
@@ -98,6 +102,8 @@ def build_parser() -> argparse.ArgumentParser:
 def to_pipeline_config(args: argparse.Namespace) -> PipelineConfig:
     return PipelineConfig(
         query_sizes=tuple(args.query_sizes),
+        custom_query_ids=(tuple(args.query_ids)
+                          if args.query_ids is not None else None),
         depth=args.depth,
         use_hetero=args.use_hetero,
         use_tconv=args.use_tconv,

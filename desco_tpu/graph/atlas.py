@@ -4,8 +4,10 @@ The standard DeSCo workload is the 29 connected queries of size 3-5 from
 the networkx graph atlas (atlas ids 6..52). Semantics mirror
 ``gen_query_ids`` (/root/reference/subgraph_counting/data.py:37-58) and
 ``graph_atlas_plus`` (workload.py:1128-1671): ids below 1253 resolve via
-``nx.graph_atlas``; larger hand-crafted patterns (ids >= 8000) are an
-extension hook (not yet shipped here).
+``nx.graph_atlas``; the hand-crafted 8-14-node benchmark patterns at ids
+8000-14004 resolve via ``atlas_plus_data.EDGELIST_PLUS`` (reachable
+end-to-end through the ``--query_ids`` CLI flag and
+analysis/compute_groundtruth.py).
 """
 
 from __future__ import annotations

@@ -91,6 +91,10 @@ class PipelineConfig:
     # label-preserving matching (reference use_node_feature,
     # config.py:227, main.py:51-61, 95-126)
     use_node_feature: bool = False
+    # explicit query-id override (atlas ids, incl. the extended
+    # 8000-14004 patterns of graph_atlas_plus) — None derives the ids
+    # from query_sizes (the 29 standard queries for sizes 3/4/5)
+    custom_query_ids: Optional[Sequence[int]] = None
     # misc
     seed: int = 0
     data_root: str = "data"
@@ -99,6 +103,8 @@ class PipelineConfig:
 
     @property
     def query_ids(self) -> List[int]:
+        if self.custom_query_ids is not None:
+            return list(self.custom_query_ids)
         return gen_query_ids(list(self.query_sizes))
 
 
@@ -212,8 +218,11 @@ def prepare_stage_data(
 def train_neighborhood_stage(
     cfg: PipelineConfig, train: StageData, val: StageData,
     query_batch: PackedGraphs, ckpt_path: Optional[str] = None,
-    log_fn=print, resume: bool = False,
+    log_fn=print, resume: bool = False, mesh=None,
 ):
+    """A ``mesh`` with >1 devices trains data-parallel over its ``data``
+    axis (parallel/dp.py — the reference wires Lightning DDP here,
+    main.py:242-255)."""
     tgt_cfg, qry_cfg = model_configs(cfg)
     params = neigh_mod.init_neighborhood_model(
         jax.random.PRNGKey(cfg.seed), tgt_cfg, qry_cfg)
@@ -221,7 +230,7 @@ def train_neighborhood_stage(
         params, tgt_cfg, qry_cfg, query_batch,
         train.batches, val.batches,
         epochs=cfg.neigh_epochs, lr=cfg.neigh_lr,
-        weight_decay=cfg.neigh_weight_decay,
+        weight_decay=cfg.neigh_weight_decay, mesh=mesh,
         ckpt_path=ckpt_path, ckpt_config=dataclasses.asdict(cfg),
         seed=cfg.seed, log_fn=log_fn, resume=resume)
     return result, tgt_cfg, qry_cfg
@@ -269,22 +278,27 @@ def neighborhood_predictions(params, tgt_cfg, qry_cfg, query_batch,
 def verify_tail_counts(counts: np.ndarray, stage: StageData,
                        cfg: PipelineConfig):
     """Exact-recount the top predicted tail (fast-path/exact-fallback
-    serving): the ceil(verify_budget * N) neighborhoods with the largest
-    TOTAL predicted count are replaced by exact canonical counts from
-    the thread-pooled native VF2 run on their own (<= depth-d)
-    neighborhood subgraphs.
+    serving): per QUERY COLUMN, the ceil(verify_budget * N)
+    neighborhoods with the largest predicted count — unioned across
+    columns and with the top-k by row total — are replaced by exact
+    canonical counts from the thread-pooled native VF2 run on their own
+    (<= depth-d) neighborhood subgraphs.
 
     This is the production answer to de-log outliers the combinatorial
     clamp cannot reach (a hub neighborhood's tree-hom bound can sit
-    ~1000x above truth): bounded, deterministic cost — budget*N subgraph
-    counts — and exactness where squared-error metrics are decided
-    (absolute-count outliers dominate every query column at once, so
-    one sum-ranked set catches the error mass). Uses only the input
-    graph (never test labels)."""
+    ~1000x above truth): bounded, deterministic cost — at most
+    (Q+1) * budget * N subgraph recounts, typically far fewer since hub
+    rows top every column at once. The per-column union closes the gap
+    a sum-only ranking leaves: a query-specific outlier that is small in
+    the row total (e.g. one dense-query blowup on an otherwise sparse
+    neighborhood) still lands in its own column's top-k. Uses only the
+    input graph (never test labels)."""
     queries = pipeline_queries(cfg)
     n = counts.shape[0]
     k = max(1, int(np.ceil(cfg.verify_budget * n)))
-    flagged = np.argsort(-counts.sum(axis=1))[:k]
+    by_total = np.argsort(-counts.sum(axis=1))[:k]
+    by_col = np.argpartition(-counts, min(k, n - 1), axis=0)[:k]
+    flagged = np.unique(np.concatenate([by_total, by_col.ravel()]))
 
     from .graph.canonical import canonical_neighborhood
     from .truth import native as truth_native
@@ -410,8 +424,11 @@ def train_gossip_stage(
     cfg: PipelineConfig, params_neigh, tgt_cfg, qry_cfg,
     query_batch: PackedGraphs,
     train_batches, val_batches, ckpt_path: Optional[str] = None,
-    log_fn=print, resume: bool = False,
+    log_fn=print, resume: bool = False, mesh=None,
 ):
+    """A ``mesh`` with >1 devices trains data-parallel over its ``data``
+    axis — the reference leaves gossip DDP NotImplementedError
+    (main.py:353-356); here both stages shard identically."""
     query_embs = neigh_mod.embed_queries(params_neigh, qry_cfg, query_batch)
     query_embs = jax.lax.stop_gradient(query_embs)
     params = gossip_mod.init_gossip_model(
@@ -423,6 +440,7 @@ def train_gossip_stage(
         params, query_embs, train_batches, val_batches,
         epochs=cfg.gossip_epochs, lr=cfg.gossip_lr,
         weight_decay=cfg.gossip_weight_decay, dropout=cfg.gossip_dropout,
+        mesh=mesh,
         ckpt_path=ckpt_path, ckpt_config=dataclasses.asdict(cfg),
         seed=cfg.seed, log_fn=log_fn, resume=resume)
     return result, query_embs

@@ -119,10 +119,12 @@ def run_training(
 
     # move batches to device ONCE (sliced from one stacked transfer);
     # the epoch then loops over resident device trees
-    def to_device_list(batches, group: int = 1):
+    def to_device_list(batches, group: int = 1, keep_axis: bool = False):
+        """keep_axis: DP steps index the per-device axis inside the
+        shard, so even a group of 1 must keep a leading axis."""
         stack = jax.device_put(stack_batches(batches))
         n = len(batches) // group
-        if group == 1:
+        if group == 1 and not keep_axis:
             out = [jax.tree_util.tree_map(lambda x, i=i: x[i], stack)
                    for i in range(n)]
         else:
@@ -132,18 +134,29 @@ def run_training(
         jax.block_until_ready(out)
         return out
 
-    train_dev = to_device_list(train_batches, n_dp)
+    train_dev = to_device_list(train_batches, n_dp,
+                               keep_axis=mesh is not None)
     val_dev = to_device_list(val_batches) if val_batches else None
     n_train = len(train_dev)
 
-    # donated carry (params, opt, rng, loss_sum): buffers reused in
-    # place, rng split inside the jit, loss accumulated on device
+    # donated carry (params, opt, rng, loss_sum, n_bad): buffers reused
+    # in place, rng split inside the jit, loss accumulated on device.
+    # Non-finite step losses are the reference's detect_anomaly concern
+    # (main.py:343): the update is REJECTED inside the jit (params/opt
+    # keep their pre-step values via a flag-select), the step is counted
+    # in n_bad, and the epoch aborts with a report — the last on-disk
+    # snapshot stays clean and resumable.
     def carried_step(carry, batch, lr):
-        params, opt_state, rng, loss_sum = carry
+        params, opt_state, rng, loss_sum, n_bad = carry
         rng, sub = jax.random.split(rng)
-        params, opt_state, loss = step_fn(params, opt_state, batch, lr,
-                                          sub)
-        return (params, opt_state, rng, loss_sum + loss)
+        new_p, new_o, loss = step_fn(params, opt_state, batch, lr, sub)
+        ok = jnp.isfinite(loss)
+        sel = lambda n, o: jnp.where(ok, n, o)
+        params = jax.tree_util.tree_map(sel, new_p, params)
+        opt_state = jax.tree_util.tree_map(sel, new_o, opt_state)
+        return (params, opt_state, rng,
+                loss_sum + jnp.where(ok, loss, 0.0),
+                n_bad + jnp.where(ok, 0, 1).astype(jnp.int32))
 
     step_jit = jax.jit(carried_step, donate_argnums=0)
 
@@ -194,10 +207,23 @@ def run_training(
         rng, epoch_key = jax.random.split(rng)
         order = rng_np.permutation(n_train)
         lr_dev = jnp.float32(sched.lr)
-        carry = (params, opt_state, epoch_key, jnp.float32(0.0))
+        carry = (params, opt_state, epoch_key, jnp.float32(0.0),
+                 jnp.int32(0))
         for bi in order:
             carry = step_jit(carry, train_dev[int(bi)], lr_dev)
-        params, opt_state, _, loss_sum = carry
+        params, opt_state, _, loss_sum, n_bad = carry
+        n_bad = int(n_bad)
+        if n_bad:
+            # detect_anomaly analog: surface the failure loudly instead
+            # of silently poisoning the epoch accumulator. params are
+            # UNPOISONED (bad updates were rejected in the jit), and the
+            # .last snapshot from the previous interval is untouched.
+            msg = (f"epoch {epoch}: {n_bad}/{n_train} train steps "
+                   f"produced a non-finite loss; their updates were "
+                   f"rejected. Aborting (resume from "
+                   f"{ckpt_path + '.last' if ckpt_path else 'scratch'}).")
+            log_fn(msg)
+            raise FloatingPointError(msg)
         tl = float(loss_sum) / n_train
         vl = val_loss(params)
         times.append(time.time() - t0)

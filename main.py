@@ -83,17 +83,23 @@ def main(argv=None) -> int:
     qb = build_query_batch(cfg)
     tgt_cfg, qry_cfg = model_configs(cfg)
 
+    # datasets load exactly as named (reference main.py:90-100: the
+    # README train command uses the FULL Syn_1827 for both train and
+    # valid). Explicit splits remain available via the _train/_val/_test
+    # name suffixes load_data parses (data.py:104-115 conventions).
     train_needed = args.train_neigh or args.train_gossip
     if train_needed:
-        train_graphs = load_data(args.train_dataset + "_train",
-                                 cfg.data_root,
+        train_graphs = load_data(args.train_dataset, cfg.data_root,
                                  with_labels=cfg.use_node_feature)
-        val_graphs = load_data(args.valid_dataset + "_val", cfg.data_root,
-                               with_labels=cfg.use_node_feature)
+        val_graphs = (
+            train_graphs if args.valid_dataset == args.train_dataset
+            else load_data(args.valid_dataset, cfg.data_root,
+                           with_labels=cfg.use_node_feature))
         train_stage = prepare_stage_data(
-            cfg, train_graphs, args.train_dataset + "_train")
-        val_stage = prepare_stage_data(
-            cfg, val_graphs, args.valid_dataset + "_val")
+            cfg, train_graphs, args.train_dataset)
+        val_stage = (
+            train_stage if args.valid_dataset == args.train_dataset
+            else prepare_stage_data(cfg, val_graphs, args.valid_dataset))
     with _phase(f"load+stage {args.test_dataset}"):
         test_graphs = load_data(args.test_dataset, cfg.data_root,
                                 with_labels=cfg.use_node_feature)
@@ -103,10 +109,23 @@ def main(argv=None) -> int:
     # ---------------------------------------------- neighborhood stage
     import jax
 
+    # DP mesh (reference main.py:242-255 wires Lightning DDP from
+    # --gpu); n_devices 0 = all available, 1 = explicit single-device.
+    # Both training stages and serving shard over the mesh's `data`
+    # axis (parallel/dp.py) — bit-identical to single-device.
+    mesh = None
+    n_avail = len(jax.devices())
+    n_dev = min(args.n_devices if args.n_devices > 0 else n_avail, n_avail)
+    if n_dev > 1:
+        from desco_tpu.parallel.dp import make_mesh
+
+        mesh = make_mesh(n_dev)
+        print(f"data-parallel mesh: {mesh.devices.size} devices")
+
     if args.train_neigh:
         print("training neighborhood model...")
         res, tgt_cfg, qry_cfg = train_neighborhood_stage(
-            cfg, train_stage, val_stage, qb,
+            cfg, train_stage, val_stage, qb, mesh=mesh,
             ckpt_path=args.neigh_model_path, resume=args.resume)
         neigh_params = res.best_params
         print(f"best neighborhood val loss: {res.best_val:.5f}")
@@ -123,13 +142,17 @@ def main(argv=None) -> int:
     with _phase("stage-1 predict+verify (test)"):
         counts_test, verified_rows = neighborhood_predictions(
             neigh_params, tgt_cfg, qry_cfg, qb, test_stage, cfg,
-            return_verified=True)
+            return_verified=True, mesh=mesh)
     counts = {"test": counts_test}
     if train_needed:
         counts["train"] = neighborhood_predictions(
-            neigh_params, tgt_cfg, qry_cfg, qb, train_stage, cfg)
-        counts["val"] = neighborhood_predictions(
-            neigh_params, tgt_cfg, qry_cfg, qb, val_stage, cfg)
+            neigh_params, tgt_cfg, qry_cfg, qb, train_stage, cfg,
+            mesh=mesh)
+        counts["val"] = (
+            counts["train"] if val_stage is train_stage
+            else neighborhood_predictions(
+                neigh_params, tgt_cfg, qry_cfg, qb, val_stage, cfg,
+                mesh=mesh))
 
     # ---------------------------------------------------- gossip stage
     skip_gossip = not (args.train_gossip or args.test_gossip)
@@ -142,9 +165,12 @@ def main(argv=None) -> int:
             print("training gossip model...")
             train_gb = prepare_gossip_batches(cfg, train_stage,
                                               counts["train"])
-            val_gb = prepare_gossip_batches(cfg, val_stage, counts["val"])
+            val_gb = (train_gb if val_stage is train_stage
+                      else prepare_gossip_batches(cfg, val_stage,
+                                                  counts["val"]))
             gres, query_embs = train_gossip_stage(
                 cfg, neigh_params, tgt_cfg, qry_cfg, qb, train_gb, val_gb,
+                mesh=mesh,
                 ckpt_path=args.gossip_model_path, resume=args.resume)
             gossip_params = gres.best_params
             print(f"best gossip val loss: {gres.best_val:.5f}")
@@ -163,8 +189,14 @@ def main(argv=None) -> int:
             print(f"loaded gossip model from {ckpt}")
 
         with _phase("gossip predict (test)"):
-            gossip_node_counts = predict_gossip_counts(
-                gossip_params, query_embs, test_gbatches)
+            if mesh is not None and int(mesh.devices.size) > 1:
+                from desco_tpu.parallel.dp import dp_predict_gossip_counts
+
+                gossip_node_counts = dp_predict_gossip_counts(
+                    gossip_params, query_embs, test_gbatches, mesh)
+            else:
+                gossip_node_counts = predict_gossip_counts(
+                    gossip_params, query_embs, test_gbatches)
         if cfg.clamp_counts:
             # same combinatorial bound as stage 1, applied to the
             # refined per-node counts (gossip residuals can overshoot

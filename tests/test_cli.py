@@ -1,0 +1,91 @@
+"""CLI driver end-to-end: main.py trains and serves data-parallel over
+the 8-virtual-device CPU mesh (--n_devices, the reference wires Lightning
+DDP here — main.py:242-255), and DP serving through the CLI is
+bit-identical to the single-device run."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+from main import main as cli_main  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def roots(tmp_path_factory):
+    return {
+        "data": str(tmp_path_factory.mktemp("data")),
+        "ckpt": str(tmp_path_factory.mktemp("ckpt")),
+        "out": str(tmp_path_factory.mktemp("out")),
+    }
+
+
+def _common(roots, out_name):
+    return [
+        "--train_dataset", "syn_24", "--valid_dataset", "syn_24",
+        "--test_dataset", "syn_12",
+        "--query_sizes", "3",
+        "--depth", "3",
+        "--neigh_layer_num", "2", "--neigh_hidden_dim", "16",
+        "--neigh_batch_size", "16",
+        "--gossip_hidden_dim", "16", "--gossip_batch_size", "16",
+        "--data_root", roots["data"],
+        "--output_dir", os.path.join(roots["out"], out_name),
+        "--neigh_model_path", os.path.join(roots["ckpt"], "neigh"),
+        "--gossip_model_path", os.path.join(roots["ckpt"], "gossip"),
+    ]
+
+
+@pytest.fixture(scope="module")
+def trained_dp(roots):
+    """Train both stages end-to-end through the CLI on the 8-device
+    mesh (the reference can only DDP the neighborhood stage)."""
+    rc = cli_main(_common(roots, "train_dp") + [
+        "--train_neigh", "--train_gossip", "--test_gossip",
+        "--neigh_epoch_num", "2", "--gossip_epoch_num", "1",
+        "--n_devices", "8",
+    ])
+    assert rc == 0
+    return roots
+
+
+def test_cli_dp_train_runs(trained_dp):
+    out = os.path.join(trained_dp["out"], "train_dp")
+    res = open(os.path.join(out, "analyze_results_syn_12.txt")).read()
+    assert "norm_mse_gossip" in res
+    # every metric line parses to floats (mae is always finite)
+    for line in res.strip().splitlines():
+        vals = [float(x) for x in
+                line.split(": ", 1)[1].strip("[]\n").split(",")]
+        if line.startswith("graphlet_mae"):
+            assert all(np.isfinite(v) for v in vals), line
+    assert os.path.exists(os.path.join(trained_dp["ckpt"],
+                                       "neigh.best.params.npz"))
+
+
+@pytest.mark.parametrize("n_devices", ["1", "8"])
+def test_cli_eval_checkpoint(trained_dp, n_devices):
+    rc = cli_main(_common(trained_dp, f"eval_d{n_devices}") + [
+        "--test_gossip",
+        "--neigh_checkpoint",
+        os.path.join(trained_dp["ckpt"], "neigh.best"),
+        "--gossip_checkpoint",
+        os.path.join(trained_dp["ckpt"], "gossip.best"),
+        "--n_devices", n_devices,
+    ])
+    assert rc == 0
+
+
+def test_cli_dp_serving_bit_identical(trained_dp):
+    """The same checkpoints through --n_devices 1 vs 8 produce byte-equal
+    final graphlet counts (DP serving exactness, parallel/dp.py)."""
+    a = open(os.path.join(trained_dp["out"], "eval_d1",
+                          "graphlet_count_syn_12.csv")).read()
+    b = open(os.path.join(trained_dp["out"], "eval_d8",
+                          "graphlet_count_syn_12.csv")).read()
+    assert a == b

@@ -121,10 +121,12 @@ def test_verify_tail_counts_exactness(tiny_cfg, tiny_data):
     rng = np.random.default_rng(0)
     fake = rng.random((n, q)).astype(np.float32) * 10.0
     fixed, rows = verify_tail_counts(np.array(fake), test, cfg)
-    assert len(rows) == int(np.ceil(0.3 * n))
-    # the verifier targets the largest predicted totals
-    totals = fake.sum(1)
-    assert set(rows) == set(np.argsort(-totals)[:len(rows)])
+    # flagged set = union of top-k by row total and per-column top-k
+    k = int(np.ceil(0.3 * n))
+    expect = set(np.argsort(-fake.sum(1))[:k])
+    for c in range(q):
+        expect |= set(np.argsort(-fake[:, c])[:k])
+    assert set(rows) == expect
     # exact recounts == the per-node truth at each neighborhood's
     # canonical node (decomposition exactness)
     node_rows = np.nonzero(np.asarray(test.nindex.indicator))[0][rows]
@@ -132,6 +134,88 @@ def test_verify_tail_counts_exactness(tiny_cfg, tiny_data):
                                rtol=1e-6, atol=1e-6)
     untouched = np.setdiff1d(np.arange(n), rows)
     np.testing.assert_array_equal(fixed[untouched], fake[untouched])
+
+
+def test_verify_tail_counts_catches_column_outlier(tiny_cfg, tiny_data):
+    """A row that is huge in ONE query column but small in total must be
+    flagged (the per-column union; a sum-only ranking can miss it)."""
+    from desco_tpu.pipeline import verify_tail_counts
+
+    _, _, test = tiny_data
+    cfg = dataclasses.replace(tiny_cfg, verify_budget=1.0 / 1e9)  # k = 1
+    n = len(test.nindex.index)
+    q = test.truth.shape[1]
+    if q < 2 or n < 3:
+        import pytest as _pytest
+
+        _pytest.skip("needs >=2 query columns and >=3 rows")
+    fake = np.full((n, q), 5.0, np.float32)
+    fake[0, 0] = 100.0          # dominates the row total (via column 0)
+    fake[1, 1] = 50.0           # column-1 outlier, small row total
+    _, rows = verify_tail_counts(np.array(fake), test, cfg)
+    # sum-only top-1 = row 0; the column-1 top-1 adds row 1
+    assert 0 in rows and 1 in rows
+
+
+def test_extended_query_ids_end_to_end(tmp_path):
+    """custom_query_ids (the --query_ids CLI flag) reaches the whole
+    pipeline with an extended 8-node atlas pattern (graph_atlas_plus id
+    8006, diameter 4 <= depth): truth computes, batches pack, one train
+    epoch runs, predictions come back finite."""
+    import jax
+
+    from desco_tpu.data.synthetic import generate_synthetic
+    from desco_tpu.models.neighborhood import init_neighborhood_model
+    from desco_tpu.train import loop as train_loop
+
+    cfg = PipelineConfig(
+        custom_query_ids=(6, 8006), depth=4,
+        neigh_layer_num=2, neigh_hidden_dim=16,
+        neigh_epochs=1, neigh_batch_size=16, neigh_lr=1e-3,
+        verify_budget=0.0,
+        data_root=str(tmp_path))
+    assert cfg.query_ids == [6, 8006]
+    graphs = generate_synthetic(6, min_size=8, max_size=14, seed=3)
+    stage = prepare_stage_data(cfg, graphs, "q8k")
+    assert stage.truth.shape[1] == 2
+    qb = build_query_batch(cfg)
+    tgt_cfg, qry_cfg = model_configs(cfg)
+    params = init_neighborhood_model(jax.random.PRNGKey(0), tgt_cfg,
+                                     qry_cfg)
+    res = train_loop.train_neighborhood(
+        params, tgt_cfg, qry_cfg, qb, stage.batches, stage.batches,
+        epochs=1, lr=1e-3, log_fn=lambda *_: None)
+    counts = neighborhood_predictions(res.best_params, tgt_cfg, qry_cfg,
+                                      qb, stage, cfg)
+    assert counts.shape == (len(stage.samples), 2)
+    assert np.all(np.isfinite(counts))
+    # the size grouping sees two groups (size 3, size 8)
+    from desco_tpu.pipeline import pipeline_query_groups
+
+    assert pipeline_query_groups(cfg) == [[0], [1]]
+
+
+def test_nan_step_guard(tiny_cfg, tiny_data):
+    """A batch with non-finite labels must abort training with a clear
+    error, and the returned state must never have been touched by the
+    poisoned update (reference detect_anomaly analog, main.py:343)."""
+    import jax
+
+    from desco_tpu.models.neighborhood import init_neighborhood_model
+    from desco_tpu.pipeline import build_query_batch, model_configs
+    from desco_tpu.train import loop as train_loop
+
+    train, val, _ = tiny_data
+    qb = build_query_batch(tiny_cfg)
+    tgt_cfg, qry_cfg = model_configs(tiny_cfg)
+    params = init_neighborhood_model(jax.random.PRNGKey(0), tgt_cfg,
+                                     qry_cfg)
+    bad = train.batches[0].replace(
+        y=np.full_like(np.asarray(train.batches[0].y), np.nan))
+    with pytest.raises(FloatingPointError, match="non-finite"):
+        train_loop.train_neighborhood(
+            params, tgt_cfg, qry_cfg, qb, [bad], val.batches,
+            epochs=1, lr=1e-3, log_fn=lambda *_: None)
 
 
 def test_apply_verified_override_mapping(tiny_cfg, tiny_data):
