@@ -13,6 +13,23 @@ vs_baseline compares against the number recorded in bench_baseline.json
 (written on first run): >1.0 means faster than the first recorded run.
 The reference publishes no throughput numbers (SURVEY.md §6), so the
 baseline is this repo's own first measurement on the same hardware.
+
+The JSON line also anchors the number to a speed-of-light roofline
+(BASELINE.json: "SpMM at speed-of-light per chip"):
+
+  * ``bytes_per_edge_layer`` — the minimum HBM traffic the shipped
+    kernel path must move per edge slot per layer (static model, see
+    ``_roofline_bytes``), with per-node terms amortized over edges;
+  * ``sol_fraction`` — modeled_traffic / elapsed / HBM_BW: the fraction
+    of the chip's HBM bandwidth the forward sustains under that model.
+    The MXU term is never the binder here (65.5 kFLOP/edge-slot on a
+    ~197 TFLOP/s bf16 chip -> ~3.0G edge-slots/s compute ceiling, ~20x
+    above the bandwidth ceiling), so HBM is the roofline that matters.
+  * ``graphs_per_s`` — whole-neighborhood inference rate of the same
+    forward (BASELINE.json names both metrics).
+
+HBM bandwidth defaults to TPU v5e's 819 GB/s; override with
+DESCO_HBM_GBPS for other chips.
 """
 
 from __future__ import annotations
@@ -45,6 +62,36 @@ def build_workload(n_graphs: int = 24, seed: int = 0, depth: int = 4):
     caps = auto_capacities(samples, g_cap=512)
     batch = pack_samples(samples, *caps, n_queries=n_q)[0]
     return batch, qb
+
+
+def _roofline_bytes(n_cap: int, e_cap: int, n_types: int, h: int,
+                    layers: int, lanes: int = 128,
+                    seg_tile: int = 1024) -> int:
+    """Minimum HBM traffic (bytes) of the target tower's ``layers``
+    typed-aggregation layers on the shipped kernel path
+    (ops/pallas_segment.py), per forward:
+
+    per layer
+      edge terms (per edge SLOT — padding streams through the DMA too):
+        zp gather read (lanes x bf16) + msgs write (lanes x bf16) +
+        kernel msgs read (lanes x bf16) + gather idx (i32) + seg (i32)
+      node terms:
+        x read for the transform einsum (h x f32), zp write
+        (n_types x lanes x bf16), kernel accumulator write
+        (seg_tile-padded, lanes x f32), update-linear reads
+        (agg h x f32 + x h x f32) and write (h x f32).
+
+    Deliberately EXCLUDES the query tower (hoisted, runs once per query
+    set), the count head, and pre/post MLPs — a lower bound, so the
+    reported sol_fraction is conservative."""
+    n_pad = ((n_cap + seg_tile - 1) // seg_tile) * seg_tile
+    edge = e_cap * (3 * lanes * 2 + 4 + 4)
+    node = (n_cap * h * 4                 # x read (transform)
+            + n_types * n_cap * lanes * 2  # zp write (bf16)
+            + n_pad * lanes * 4            # kernel out write (f32)
+            + n_cap * (lanes * 4           # agg read (update linear)
+                       + h * 4 + h * 4))   # x read + x write
+    return layers * (edge + node)
 
 
 def main() -> int:
@@ -123,11 +170,24 @@ def main() -> int:
                        "device": str(jax.devices()[0])}, f, indent=2)
         base = edges_per_s
 
+    # roofline anchor: modeled minimum HBM traffic vs chip bandwidth
+    n_cap = int(np.asarray(batch.x).shape[0])
+    e_cap = int(np.asarray(batch.edge_src).shape[0])
+    model_bytes = _roofline_bytes(n_cap, e_cap, tgt_cfg.n_edge_types,
+                                  64, 8)
+    hbm_bw = float(os.environ.get("DESCO_HBM_GBPS", "819")) * 1e9
+    per_fwd = dt / n_iters
+    sol = model_bytes / per_fwd / hbm_bw
+
     print(json.dumps({
         "metric": "shmp_neighborhood_forward_edges_per_s_per_chip",
         "value": round(edges_per_s, 1),
         "unit": "edges/s",
         "vs_baseline": round(edges_per_s / base, 4),
+        "graphs_per_s": round(graphs_per_s, 1),
+        "bytes_per_edge_layer": round(model_bytes / 8 / valid_edges, 1),
+        "sol_fraction": round(sol, 4),
+        "hbm_gbps_assumed": hbm_bw / 1e9,
     }))
     return 0
 

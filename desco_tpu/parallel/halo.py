@@ -26,13 +26,28 @@ analog of sequence/context parallelism (SURVEY.md §5.7): ONE large
     (dst,type) slots — min is chosen per pair (DistGNN-style
     reduce-at-source, re-derived for static SPMD shapes).
 
-Both modes land in ONE sorted segment-sum per device per layer: segment
-keys are laid out as [local (dst,type) cells | outgoing push slots], so
-local aggregation and remote partials fall out of the same kernel; the
-push all_to_all then delivers partials to a tiny scatter-add on the
-destination (D*p_max rows). All shapes are static: pull halo and push
-partial slots are padded to the max over (device, peer) pairs; padded
-slots carry zeros and padded scatter targets are out-of-range (dropped).
+Each device's resident edges are SPLIT into two independently sorted
+streams so boundary exchange overlaps local aggregation (the
+double-buffered pipelining SURVEY.md §7.3 names as the genuinely new
+engineering; ring-attention-style latency hiding applied to SpMM):
+
+  * INTERIOR stream — edges whose source is locally owned: all
+    intra-device edges plus every push edge (push edges are resident at
+    their src owner by construction). Segment keys span
+    [local (dst,type) cells | outgoing push slots]. This stream has NO
+    data dependence on the pull all_to_all, so XLA's latency-hiding
+    scheduler runs it while the pull exchange is in flight; its output
+    also feeds the push all_to_all, which then overlaps the boundary
+    stream.
+  * BOUNDARY stream — pull-mode cross edges, whose sources index the
+    received halo table. Segment keys are local cells only; its (small)
+    sorted segment-sum adds into the interior accumulator, and the push
+    partials scatter-add last.
+
+All shapes are static: pull halo and push partial slots are padded to
+the max over (device, peer) pairs, each stream to its own max edge
+count; padded slots carry zeros and padded keys/scatter targets are
+out-of-range (dropped).
 """
 
 from __future__ import annotations
@@ -61,10 +76,13 @@ class HaloPartition:
     node_type: np.ndarray    # [D, n_loc]
     node_mask: np.ndarray    # [D, n_loc]
     node_graph: np.ndarray   # [D, n_loc] graph slot (for pooling)
-    # per-device resident edges: src into the [local | halo] table, seg
-    # into [local (dst,type) cells | outgoing push slots]; sorted by seg
-    edge_src_ext: np.ndarray  # [D, e_loc] index into n_loc + D*h_max table
-    edge_seg: np.ndarray      # [D, e_loc] key < n_loc*T + D*p_max (pad: ==)
+    # per-device resident edges, split into two sorted streams (see
+    # module docstring): interior srcs index the LOCAL node table,
+    # boundary srcs index the received HALO table
+    edge_src_int: np.ndarray  # [D, e_int] index < n_loc
+    edge_seg_int: np.ndarray  # [D, e_int] key < n_loc*T + D*p_max (pad: ==)
+    edge_src_bnd: np.ndarray  # [D, e_bnd] index < D*h_max
+    edge_seg_bnd: np.ndarray  # [D, e_bnd] key < n_loc*T (pad: ==)
     # pull plan: boundary features this device sends to each peer
     send_idx: np.ndarray     # [D, D, h_max] local ids this device sends
     send_mask: np.ndarray    # [D, D, h_max]
@@ -105,7 +123,8 @@ def partition_caps(part: HaloPartition) -> dict:
     """The padded capacities of a partition — pass the element-wise max
     over several partitions back as ``min_caps`` to harmonize shapes."""
     return {"n_loc": part.n_loc,
-            "e_loc": part.edge_src_ext.shape[-1],
+            "e_int": part.edge_src_int.shape[-1],
+            "e_bnd": part.edge_src_bnd.shape[-1],
             "h_max": part.h_max, "p_max": part.p_max}
 
 
@@ -404,15 +423,23 @@ def partition_typed_graph(
     NG[NM == 0] = n_graphs  # pad slot
 
     # edge residency: push edges live with the src owner, all others with
-    # the dst owner
+    # the dst owner. Two streams per device (module docstring): INTERIOR
+    # = edges with a locally-owned source (intra edges + all push edges),
+    # BOUNDARY = pull-mode cross edges (sources in the halo table).
     res_dev = np.where(is_push_edge, owner_src, owner_dst)
-    e_counts = np.bincount(res_dev, minlength=d)
-    e_loc = int(max(128, ((e_counts.max() + 127) // 128) * 128))
-    e_loc = max(e_loc, int(caps.get("e_loc", 0)))
+    interior = is_push_edge | (owner_src == owner_dst)
+    int_counts = np.bincount(res_dev[interior], minlength=d)
+    bnd_counts = np.bincount(res_dev[~interior], minlength=d)
+    e_int = int(max(128, ((int_counts.max() + 127) // 128) * 128))
+    e_int = max(e_int, int(caps.get("e_int", 0)))
+    e_bnd = int(((max(bnd_counts.max(), 0) + 127) // 128) * 128)
+    e_bnd = max(e_bnd, int(caps.get("e_bnd", 0)))
 
     seg_total = n_loc * t + d * p_max
-    ES = np.full((d, e_loc), n_loc - 1, np.int32)
-    ESEG = np.full((d, e_loc), seg_total, np.int32)
+    ESI = np.full((d, e_int), 0, np.int32)
+    ESEGI = np.full((d, e_int), seg_total, np.int32)
+    ESB = np.full((d, e_bnd), 0, np.int32)
+    ESEGB = np.full((d, e_bnd), n_loc * t, np.int32)
     for dev in range(d):
         sel = res_dev == dev
         es, ed, et = edge_src[sel], edge_dst[sel], edge_type[sel]
@@ -429,26 +456,32 @@ def partition_typed_graph(
             sel2 = push & (do == peer)
             pos = np.searchsorted(push_cells[dev][peer], g[sel2])
             seg[sel2] = n_loc * t + peer * p_max + pos
-        # source index into the [local | halo] table (push edges always
-        # have local sources — that's why they're resident here)
-        src_ext = np.empty(m, np.int64)
         local_src = so == dev
-        src_ext[local_src] = es[local_src] - starts[dev]
+        # interior stream: local source ids (push edges always have
+        # local sources — that's why they're resident here)
+        ii = np.nonzero(local_src)[0]
+        order = np.argsort(seg[ii], kind="stable")
+        ESI[dev, :len(ii)] = (es[ii] - starts[dev])[order]
+        ESEGI[dev, :len(ii)] = seg[ii][order]
+        # boundary stream: halo-table source ids per source peer
+        bb = np.nonzero(~local_src)[0]
+        src_halo = np.empty(len(bb), np.int64)
         for p in range(d):
-            sel2 = (~local_src) & (so == p)
+            sel2 = so[bb] == p
             if not sel2.any():
                 continue
-            pos = np.searchsorted(pull_ids[dev][p], es[sel2])
-            src_ext[sel2] = n_loc + p * h_max + pos
-        order = np.argsort(seg, kind="stable")
-        ES[dev, :m] = src_ext[order]
-        ESEG[dev, :m] = seg[order]
-        # pad edges gather the last local node (masked-out features) and
-        # carry an out-of-range key, so the segment sum drops them
+            pos = np.searchsorted(pull_ids[dev][p], es[bb][sel2])
+            src_halo[sel2] = p * h_max + pos
+        order = np.argsort(seg[bb], kind="stable")
+        ESB[dev, :len(bb)] = src_halo[order]
+        ESEGB[dev, :len(bb)] = seg[bb][order]
+        # pad edges gather row 0 of their table (result dropped) and
+        # carry an out-of-range key, so the segment sums drop them
 
     return HaloPartition(
         x=X, node_type=NT, node_mask=NM, node_graph=NG,
-        edge_src_ext=ES, edge_seg=ESEG,
+        edge_src_int=ESI, edge_seg_int=ESEGI,
+        edge_src_bnd=ESB, edge_seg_bnd=ESEGB,
         send_idx=send_idx, send_mask=send_mask, push_tgt=push_tgt,
         node_y=NY, n_graphs=n_graphs, n_types=t,
         node_range=np.stack([starts[:-1], starts[1:]], 1).astype(np.int64))
@@ -478,29 +511,52 @@ def halo_typed_aggregate(
     axis: str = "graph",
 ) -> jnp.ndarray:
     """Hybrid typed aggregation over this shard's resident edges:
-    [n_loc, T, H].
+    [n_loc, T, H] — structured so both collectives overlap independent
+    compute (module docstring):
 
-    One sorted segment-sum produces both the local (dst,type) cells and
-    the outgoing push partials; the pull all_to_all feeds the gather
-    table, the push all_to_all delivers partials to a D*p_max-row
-    scatter-add. Both collectives are differentiable, so gradients flow
-    for halo training."""
+      1. issue the PULL all_to_all (boundary features);
+      2. while it flies: sorted segment-sum over the INTERIOR stream
+         (local cells + outgoing push partials) — no data dependence on
+         the exchange, so XLA's latency-hiding scheduler overlaps them;
+      3. issue the PUSH all_to_all (partials from step 2);
+      4. while it flies: sorted segment-sum over the BOUNDARY stream
+         (gathers from the received halo table), added into the local
+         cells;
+      5. scatter-add the received push partials.
+
+    All collectives are differentiable, so gradients flow for halo
+    training; exactness vs the single-device aggregation is tested
+    (tests/test_halo.py)."""
     n_loc, h = x_local.shape
     t = shard.n_types
     d = shard.send_idx.shape[0]
     p_max = shard.p_max
 
+    # (1) pull exchange first — nothing below depends on it until (4)
     halo = halo_exchange(x_local, shard.send_idx, shard.send_mask, axis)
-    table = jnp.concatenate([x_local, halo], axis=0)
-    msgs = jnp.take(table, shard.edge_src_ext, axis=0)
-    comb = segment_sum(msgs, shard.edge_seg, n_loc * t + d * p_max,
+
+    # (2) interior stream: local sources only
+    msgs_i = jnp.take(x_local, shard.edge_src_int, axis=0)
+    comb = segment_sum(msgs_i, shard.edge_seg_int, n_loc * t + d * p_max,
                        indices_are_sorted=True)
     agg = comb[:n_loc * t]
+
+    # (3) push exchange of the interior partials
+    push_in = None
     if p_max:
         push_out = comb[n_loc * t:].reshape(d, p_max, h)
         push_in = jax.lax.all_to_all(push_out, axis, split_axis=0,
                                      concat_axis=0, tiled=False)
-        # dead slots carry exact zeros and out-of-range targets (dropped)
+
+    # (4) boundary stream: sources in the received halo table
+    if shard.edge_src_bnd.shape[-1]:
+        msgs_b = jnp.take(halo, shard.edge_src_bnd, axis=0)
+        agg = agg + segment_sum(msgs_b, shard.edge_seg_bnd, n_loc * t,
+                                indices_are_sorted=True)
+
+    # (5) received push partials: dead slots carry exact zeros and
+    # out-of-range targets (dropped)
+    if push_in is not None:
         agg = agg.at[shard.push_tgt.reshape(-1)].add(
             push_in.reshape(-1, h))
     return agg.reshape(n_loc, t, h)
