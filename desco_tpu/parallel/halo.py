@@ -298,6 +298,7 @@ def partition_typed_graph(
     n_types: Optional[int] = None,
     drop_cross: bool = False,
     min_caps: Optional[dict] = None,
+    force_pull: bool = False,
 ) -> HaloPartition:
     """Host-side partitioner: contiguous node ranges with DEGREE-AWARE
     cut points (each device owns ~equal adjacency volume), hybrid
@@ -310,11 +311,18 @@ def partition_typed_graph(
     a shape-comparable zero-communication control for the scaling
     harness, NOT a correct partition of the graph.
 
-    ``min_caps`` ({'n_loc','e_loc','h_max','p_max'}) floors the padded
-    capacities so partitions of DIFFERENT graphs come out with identical
-    leaf shapes — required to stack them along a ``data`` axis for the
-    DP x halo composition (parallel/topology.py). Segment keys embed
-    n_loc/p_max, so harmonization must happen here, not by re-padding."""
+    ``min_caps`` ({'n_loc','e_int','e_bnd','h_max','p_max'}) floors the
+    padded capacities so partitions of DIFFERENT graphs come out with
+    identical leaf shapes — required to stack them along a ``data`` axis
+    for the DP x halo composition (parallel/topology.py). Segment keys
+    embed n_loc/p_max, so harmonization must happen here, not by
+    re-padding.
+
+    ``force_pull=True`` disables push mode: every cross edge is resident
+    at its DST owner and fetches remote sources through the pull
+    exchange. Required for aggregations that do not commute with
+    partial sums shipped per (dst,type) cell — the per-segment softmax
+    of GAT (halo_gat_aggregator)."""
     del pad_edge_type  # pads are out-of-range segment keys now
     d = n_devices
     if n_types is None:
@@ -370,7 +378,7 @@ def partition_typed_graph(
                 continue
             u_src = np.unique(edge_src[sel])
             u_cell = np.unique(gseg[sel])
-            if len(u_cell) < len(u_src):
+            if not force_pull and len(u_cell) < len(u_src):
                 push_cells[s][dev] = u_cell
                 is_push_edge[sel] = True
             else:
@@ -574,6 +582,85 @@ def halo_aggregator(cfg, part_shard, axis: str = "graph"):
     return agg_fn
 
 
+def halo_gat_aggregator(cfg, shard, att, axis: str = "graph"):
+    """Typed GAT attention over a halo shard — the two-pass-free sharded
+    softmax (models/shmp_gnn.gat_aggregator semantics, exactly).
+
+    Pull edges always have a LOCAL destination, so the per-(dst,type)
+    softmax is entirely local once the remote source features arrive:
+    the existing pull exchange ships raw x rows, the dst owner applies
+    the per-type transforms to its halo table, and segment max / exp /
+    sum run over the same split streams as the sum path. Push-mode
+    partials do NOT commute with the softmax normalization, so the
+    partition must be built with ``force_pull=True`` (asserted)."""
+    assert shard.p_max == 0, (
+        "halo GAT needs a force_pull=True partition (push partials do "
+        "not commute with the per-(dst,type) softmax)")
+    a_src_all, a_dst_all = att  # [L, T, H] each
+    t_n = cfg.n_edge_types
+    seg_i = shard.edge_seg_int.astype(jnp.int32)
+    seg_b = shard.edge_seg_bnd.astype(jnp.int32)
+    has_bnd = bool(seg_b.shape[-1])
+
+    def agg_fn(x, conv_w, layer):
+        n = x.shape[0]
+        a_src, a_dst = a_src_all[layer], a_dst_all[layer]
+        z = jnp.einsum("nh,thk->tnk", x, conv_w)          # [T, n_loc, K]
+        s_src = jnp.einsum("tnk,tk->tn", z, a_src)
+        s_dst = jnp.einsum("tnk,tk->tn", z, a_dst)
+
+        halo = halo_exchange(x, shard.send_idx, shard.send_mask, axis)
+        z_h = jnp.einsum("nh,thk->tnk", halo, conv_w)     # [T, D*h, K]
+        s_src_h = jnp.einsum("tnk,tk->tn", z_h, a_src)
+
+        def edge_terms(seg, src, s_src_tab, z_tab):
+            # pad edges carry out-of-range seg keys -> dropped by every
+            # segment op below; their gathered garbage never lands
+            et = jnp.clip(seg % t_n, 0, t_n - 1)
+            dst = jnp.minimum(seg // t_n, n - 1)
+            s_e = jax.nn.leaky_relu(
+                s_src_tab[et, src] + s_dst[et, dst], 0.2)
+            return et, s_e
+
+        et_i, s_e_i = edge_terms(seg_i, shard.edge_src_int, s_src, z)
+        m = jax.ops.segment_max(s_e_i, seg_i, num_segments=n * t_n,
+                                indices_are_sorted=True)
+        if has_bnd:
+            et_b, s_e_b = edge_terms(seg_b, shard.edge_src_bnd,
+                                     s_src_h, z_h)
+            m_b = jax.ops.segment_max(s_e_b, seg_b, num_segments=n * t_n,
+                                      indices_are_sorted=True)
+            m = jnp.maximum(m, m_b)
+        m = jnp.where(jnp.isfinite(m), m, 0.0)  # empty segments -> 0
+
+        p_i = jnp.exp(s_e_i - jnp.take(m, seg_i, fill_value=0.0))
+        z_src_i = z[et_i, shard.edge_src_int]
+        num = segment_sum(p_i[:, None] * z_src_i, seg_i, n * t_n,
+                          indices_are_sorted=True)
+        den = segment_sum(p_i, seg_i, n * t_n, indices_are_sorted=True)
+        if has_bnd:
+            p_b = jnp.exp(s_e_b - jnp.take(m, seg_b, fill_value=0.0))
+            z_src_b = z_h[et_b, shard.edge_src_bnd]
+            num = num + segment_sum(p_b[:, None] * z_src_b, seg_b,
+                                    n * t_n, indices_are_sorted=True)
+            den = den + segment_sum(p_b, seg_b, n * t_n,
+                                    indices_are_sorted=True)
+        num = num.reshape(n, t_n, -1)
+        den = den.reshape(n, t_n)
+        m2 = m.reshape(n, t_n)
+        # merge the self-loop candidate into each (node, type) softmax
+        # (identical to the packed path)
+        s_self = jax.nn.leaky_relu(s_src + s_dst, 0.2).T  # [n_loc, T]
+        big = jnp.maximum(m2, s_self)
+        w_edges = jnp.exp(m2 - big)
+        w_self = jnp.exp(s_self - big)
+        z_self = jnp.swapaxes(z, 0, 1)                    # [n_loc, T, K]
+        out_t = ((num * w_edges[..., None] + w_self[..., None] * z_self)
+                 / (den * w_edges + w_self)[..., None])
+        return out_t.sum(axis=1)
+    return agg_fn
+
+
 def halo_shmp_core(params, cfg, part_shard, axis: str = "graph",
                    train: bool = False, rng=None):
     """SHMP core over ONE sharded graph — runs INSIDE shard_map, one
@@ -587,10 +674,6 @@ def halo_shmp_core(params, cfg, part_shard, axis: str = "graph",
     """
     from ..models.shmp_gnn import _per_type_linear, run_shmp_layers
 
-    # GAT needs a per-(dst,type) softmax — a two-pass exchange the halo
-    # path doesn't implement (sum aggregations only, like the reference's
-    # distributed paths)
-    assert cfg.conv_type != "GAT", "halo path supports SAGE/GIN/GCN"
     nmask = part_shard.node_mask[:, None].astype(cfg.dtype)
     ntype = part_shard.node_type
 
@@ -601,9 +684,19 @@ def halo_shmp_core(params, cfg, part_shard, axis: str = "graph",
     if rng is not None:
         # per-shard dropout streams
         rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+    if cfg.conv_type == "GAT":
+        # per-(dst,type) softmax: local once sources arrive — needs a
+        # pull-only partition (see halo_gat_aggregator)
+        agg = halo_gat_aggregator(cfg, part_shard, params["att"], axis)
+    else:
+        assert cfg.conv_type != "PNA", (
+            "halo path supports SAGE/GIN/GCN/GAT; PNA's per-(dst,type) "
+            "statistics need the same force_pull treatment as GAT and "
+            "are not wired (PNA is dead code in the reference, "
+            "gnn_model.py:263-271)")
+        agg = halo_aggregator(cfg, part_shard, axis)
     return run_shmp_layers(
-        params, cfg, x, ntype, nmask,
-        halo_aggregator(cfg, part_shard, axis), train=train, rng=rng)
+        params, cfg, x, ntype, nmask, agg, train=train, rng=rng)
 
 
 def halo_graph_pool(emb_local, node_graph_local, n_graphs: int,

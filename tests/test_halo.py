@@ -162,6 +162,61 @@ def test_halo_shmp_core_gin_gcn_match(rng, conv):
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
 
 
+def test_halo_gat_matches_single_device(rng):
+    """GAT over a force_pull halo partition == packed single-device GAT
+    (the per-(dst,type) softmax is local once pulled sources arrive)."""
+    s, _ = big_typed_graph(rng, n=40)
+    n = s.n_nodes
+    cfg = neighborhood_target_config(layer_num=2, hidden_dim=8,
+                                     conv_type="GAT")
+    params = init_shmp(jax.random.PRNGKey(3), cfg)
+    [b] = pack_samples([s], *auto_capacities([s], g_cap=1))
+    ref = np.asarray(apply_shmp_core(params, cfg, b))[:n]
+
+    part = partition_typed_graph(
+        n, s.node_type, s.x, s.edge_src, s.edge_dst, s.edge_type, N_DEV,
+        n_types=cfg.n_edge_types, force_pull=True)
+    assert part.p_max == 0
+    mesh = jax.sharding.Mesh(make_mesh(N_DEV).devices, ("graph",))
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=(P(), P("graph")),
+             out_specs=P("graph"))
+    def run(params, shard):
+        shard = jax.tree_util.tree_map(lambda a: a[0], shard)
+        return halo_shmp_core(params, cfg, shard)[None]
+
+    with mesh:
+        out = np.asarray(jax.jit(run)(params, part))
+    got = unpartition_nodes(part, out)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_halo_gat_rejects_push_partition(rng):
+    """A partition with push pairs must be rejected for GAT with the
+    informative error (softmax does not commute with push partials)."""
+    n = 64
+    hub = n - 1
+    src = np.concatenate([np.arange(n - 1), np.full(n - 2, hub)])
+    dst = np.concatenate([np.full(n - 1, hub), np.arange(1, n - 1)])
+    ety = np.concatenate([np.zeros(n - 1, np.int32),
+                          np.ones(n - 2, np.int32)])
+    x = rng.standard_normal((n, 8)).astype(np.float32)
+    part = partition_typed_graph(
+        n, np.zeros(n, np.int32), x, src.astype(np.int32),
+        dst.astype(np.int32), ety, N_DEV, n_types=2)
+    assert part.p_max > 0
+    from desco_tpu.parallel.halo import halo_gat_aggregator
+
+    from desco_tpu.models.shmp_gnn import SHMPConfig
+
+    cfg = SHMPConfig(n_node_types=1, n_edge_types=2, edge_dst_type=(0, 0),
+                     conv_type="GAT", hidden_dim=8, layer_num=1)
+    params = init_shmp(jax.random.PRNGKey(0), cfg)
+    shard = jax.tree_util.tree_map(lambda a: np.asarray(a)[0], part)
+    with pytest.raises(AssertionError, match="force_pull"):
+        halo_gat_aggregator(cfg, shard, params["att"])
+
+
 def test_halo_gossip_training_grads_match(rng):
     """Gradients THROUGH the halo all_to_all == single-device gradients
     (the halo path trains, not just infers)."""
