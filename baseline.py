@@ -27,7 +27,9 @@ def main(argv=None) -> int:
     p.add_argument("--query_sizes", type=int, nargs="+", default=[3, 4, 5])
     p.add_argument("--conv_type", type=str, default="GIN")
     p.add_argument("--mem_init", type=str, default="mean",
-                   choices=["mean", "sum", "max", "attn", "lstm"],
+                   choices=["mean", "sum", "max", "attn", "lstm",
+                            "circular_mean", "circular_sum",
+                            "circular_max"],
                    help="DIAMNet memory init variant (DIAMNet.py:801-921)")
     p.add_argument("--layer_num", type=int, default=3)
     p.add_argument("--hidden_dim", type=int, default=64)

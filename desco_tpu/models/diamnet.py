@@ -16,7 +16,12 @@ mechanical:
     membership masks; attn runs one gated-MHA step per window with the
     window as the key mask; lstm runs a masked lax.scan over the padded
     sequence per window (the carry crosses windows, as in the torch
-    loop). The 'circular_*' variants are omitted (unused upstream).
+    loop); circular_mean/sum/max extend the sequence circularly by
+    ceil((len+1)/2)-1 positions first (DIAMNet.py:846-861), expressed
+    as a per-sample window-COUNT matrix over original indices (a
+    wrap-spanning window counts an index twice, like the torch pooling
+    over the padded copy). circular_attn/circular_lstm stay
+    unimplemented — no reference config reaches any circular variant.
 
 Semantics kept: gated pre-LN multi-head attention
 (out = g*q + (1-g)*attn, gate bias init 1 so fresh models pass the query
@@ -41,7 +46,8 @@ class DIAMNetConfig:
     num_heads: int = 4
     mem_len: int = 4
     recurrent_steps: int = 1
-    mem_init: str = "mean"  # mean | sum | max | attn | lstm
+    # mean | sum | max | attn | lstm | circular_{mean,sum,max}
+    mem_init: str = "mean"
 
 
 def _attn_params(key, q_dim, k_dim, v_dim, h):
@@ -190,6 +196,59 @@ def init_mem_max(g, g_len, mem_len: int):
     return mem, _mem_mask(lens, m, g.dtype)
 
 
+def init_mem_circular(g, g_len, mem_len: int, kind: str = "mean"):
+    """init_mem 'circular_mean' / 'circular_sum' / 'circular_max'
+    (DIAMNet.py:846-876): the sequence is first extended CIRCULARLY by
+    pad = ceil((len+1)/2) - 1 positions (F.pad mode='circular'), then
+    the same strided windows pool over the extended stream.
+
+    Dense formulation: extended position e maps to original index
+    e % len, so the window weight matrix counts, per (window, original
+    index), how many extended positions land there (a window that spans
+    the wrap touches an index up to twice — circular_sum counts it
+    twice, exactly like the torch pooling over the padded copy).
+    len == mem_len bypasses the circular pad entirely (the torch
+    seq_len == mem_len branch); len < mem_len takes the short fallback.
+    circular_attn / circular_lstm remain unimplemented, like the plain
+    reference config space they belong to (no caller uses any circular
+    variant upstream)."""
+    b, L, _ = g.shape
+    m = mem_len
+    lens = g_len.astype(jnp.int32)
+    pad = jnp.ceil((lens + 1) / 2).astype(jnp.int32) - 1
+    ext = lens + pad                          # per-sample extended length
+    L_ext = L + (L + 1) // 2                  # static cap
+    stride = ext // m
+    kernel = ext - (m - 1) * stride
+
+    e_idx = jnp.arange(L_ext)[None, None, :]             # [1, 1, Le]
+    w_idx = jnp.arange(m)[None, :, None]                 # [1, M, 1]
+    lo = w_idx * stride[:, None, None]
+    hi = lo + kernel[:, None, None]
+    in_win = ((e_idx >= lo) & (e_idx < hi)
+              & (e_idx < ext[:, None, None]))            # [B, M, Le]
+    # e -> e % len one-hot (valid extended positions only)
+    e2 = jnp.arange(L_ext)[None, :]                      # [1, Le]
+    orig = e2 % jnp.maximum(lens[:, None], 1)            # [B, Le]
+    onehot = (orig[:, :, None] == jnp.arange(L)[None, None, :]) & (
+        e2 < ext[:, None])[:, :, None]                   # [B, Le, L]
+    cnt = jnp.einsum("bme,bel->bml", in_win.astype(g.dtype),
+                     onehot.astype(g.dtype))             # [B, M, L]
+    if kind == "mean":
+        w = cnt / jnp.maximum(kernel[:, None, None], 1).astype(g.dtype)
+        mem_long = jnp.einsum("bml,bld->bmd", w, g)
+    elif kind == "sum":
+        mem_long = jnp.einsum("bml,bld->bmd", cnt, g)
+    else:  # max: membership only (multiplicity is irrelevant)
+        neg = jnp.asarray(-jnp.inf, g.dtype)
+        masked = jnp.where((cnt > 0)[..., None], g[:, None, :, :], neg)
+        mem_long = masked.max(axis=2)
+        mem_long = jnp.where(jnp.isfinite(mem_long), mem_long, 0.0)
+    use_short = (lens <= m)[:, None, None]   # == m bypasses circular pad
+    mem = jnp.where(use_short, _mem_short(g, lens, m), mem_long)
+    return mem, _mem_mask(lens, m, g.dtype)
+
+
 def init_mem_attn(params, cfg, g, g_len):
     """init_mem 'attn' (DIAMNet.py:877-897): one gated-MHA step per
     strided window, the query carrying across windows (h starts at
@@ -262,6 +321,11 @@ def apply_diamnet(params, cfg: DIAMNetConfig,
         mem, mem_mask = init_mem_attn(params, cfg, graph, g_len)
     elif cfg.mem_init == "lstm":
         mem, mem_mask = init_mem_lstm(params, cfg, graph, g_len)
+    elif cfg.mem_init.startswith("circular_"):
+        mem, mem_mask = init_mem_circular(
+            graph, g_len, cfg.mem_len, cfg.mem_init.split("_", 1)[1])
+        gw, gb = params["g_layer"]
+        mem = mem @ gw + gb
     else:
         pool = {"mean": init_mem_mean, "sum": init_mem_sum,
                 "max": init_mem_max}[cfg.mem_init]

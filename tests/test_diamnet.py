@@ -131,7 +131,47 @@ def test_init_mem_sum_max_match_windows(rng):
             np.testing.assert_allclose(mem_m[b, w], win.max(0), rtol=1e-5)
 
 
-@pytest.mark.parametrize("mem_init", ["sum", "max", "attn", "lstm"])
+def test_init_mem_circular_matches_torch_semantics(rng):
+    """circular_{mean,sum,max} == pooling over the explicitly
+    circular-padded sequence (F.pad mode='circular' + strided pooling,
+    DIAMNet.py:846-876), per actual length; len == mem_len bypasses the
+    pad (the torch seq_len == mem_len branch)."""
+    from desco_tpu.models.diamnet import init_mem_circular
+
+    B, L, D, M = 4, 10, 3, 4
+    g = rng.standard_normal((B, L, D)).astype(np.float32)
+    lens = np.array([10, 7, 4, 2])  # long, long, == M, short
+    for b, l in enumerate(lens):
+        g[b, l:] = 0.0
+    out = {k: np.asarray(init_mem_circular(
+        jnp.asarray(g), jnp.asarray(lens), M, k)[0])
+        for k in ("mean", "sum", "max")}
+    for b, l in enumerate(lens):
+        if l <= M:  # short/identity fallback
+            for w in range(M):
+                ref = g[b, w] if w < l else np.zeros(D)
+                for k in out:
+                    np.testing.assert_allclose(out[k][b, w], ref,
+                                               rtol=1e-5, atol=1e-6)
+            continue
+        pad = int(np.ceil((l + 1) / 2)) - 1
+        ext = np.concatenate([g[b, :l], g[b, :pad]], axis=0)  # circular
+        el = l + pad
+        stride = el // M
+        kernel = el - (M - 1) * stride
+        for w in range(M):
+            win = ext[w * stride:w * stride + kernel]
+            np.testing.assert_allclose(out["mean"][b, w], win.mean(0),
+                                       rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(out["sum"][b, w], win.sum(0),
+                                       rtol=1e-5, atol=1e-5)
+            np.testing.assert_allclose(out["max"][b, w], win.max(0),
+                                       rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("mem_init", ["sum", "max", "attn", "lstm",
+                                      "circular_mean", "circular_sum",
+                                      "circular_max"])
 def test_diamnet_mem_init_variants_forward(rng, mem_init):
     """Every mem_init variant runs end-to-end with finite output and
     nonzero gradients (flags-accepted bar for DIAMNet.py:801-921)."""
