@@ -661,6 +661,82 @@ def halo_gat_aggregator(cfg, shard, att, axis: str = "graph"):
     return agg_fn
 
 
+def halo_pna_aggregator(cfg, shard, mix_w_all, axis: str = "graph"):
+    """Typed PNA aggregation over a halo shard
+    (models/shmp_gnn.pna_aggregator semantics): like GAT, every
+    per-(dst,type) statistic (count/mean/min/max/std) is local once the
+    pulled sources arrive, so a ``force_pull=True`` partition suffices
+    (count/sum/sum-of-squares add across the two streams; min/max
+    combine elementwise). The degree-normalizer delta — a mean over the
+    batch's valid nodes — becomes a psum'd global mean so every shard
+    scales identically to the single-device path."""
+    assert shard.p_max == 0, (
+        "halo PNA needs a force_pull=True partition (per-(dst,type) "
+        "statistics do not commute with push partials)")
+    t_n = cfg.n_edge_types
+    seg_i = shard.edge_seg_int.astype(jnp.int32)
+    seg_b = shard.edge_seg_bnd.astype(jnp.int32)
+    has_bnd = bool(seg_b.shape[-1])
+    nmask_f = shard.node_mask.astype(jnp.float32)
+
+    def agg_fn(x, conv_w, layer):
+        n = x.shape[0]
+        mix_w = mix_w_all[layer]                          # [T, 12H, H]
+        z = jnp.einsum("nh,thk->tnk", x, conv_w)
+        halo = halo_exchange(x, shard.send_idx, shard.send_mask, axis)
+        z_h = jnp.einsum("nh,thk->tnk", halo, conv_w)
+
+        def stats(seg, src, z_tab):
+            et = jnp.clip(seg % t_n, 0, t_n - 1)
+            z_src = z_tab[et, src]
+            ones = jnp.ones(seg.shape, z_src.dtype)
+            kw = dict(num_segments=n * t_n, indices_are_sorted=True)
+            return (segment_sum(ones, seg, n * t_n,
+                                indices_are_sorted=True),
+                    segment_sum(z_src, seg, n * t_n,
+                                indices_are_sorted=True),
+                    segment_sum(z_src * z_src, seg, n * t_n,
+                                indices_are_sorted=True),
+                    jax.ops.segment_min(z_src, seg, **kw),
+                    jax.ops.segment_max(z_src, seg, **kw))
+
+        cnt, s1, s2, mn, mx = stats(seg_i, shard.edge_src_int, z)
+        if has_bnd:
+            cnt_b, s1_b, s2_b, mn_b, mx_b = stats(
+                seg_b, shard.edge_src_bnd, z_h)
+            cnt, s1, s2 = cnt + cnt_b, s1 + s1_b, s2 + s2_b
+            mn, mx = jnp.minimum(mn, mn_b), jnp.maximum(mx, mx_b)
+
+        d = jnp.maximum(cnt, 1.0)[:, None]
+        mean = s1 / d
+        var = jnp.maximum(s2 / d - mean * mean, 0.0)
+        std = jnp.where(var > 0, jnp.sqrt(jnp.where(var > 0, var, 1.0)),
+                        0.0)
+        has = (cnt > 0)[:, None]
+        mn = jnp.where(has & jnp.isfinite(mn), mn, 0.0)
+        mx = jnp.where(has & jnp.isfinite(mx), mx, 0.0)
+        feats = jnp.concatenate([mean, mn, mx, std], axis=-1)
+        feats = feats.reshape(n, t_n, -1)
+        logd = jnp.log(jnp.maximum(cnt, 1.0) + 1.0).reshape(n, t_n)
+        d_tot = cnt.reshape(n, t_n).sum(axis=1)
+        # GLOBAL batch-mean normalizer (the packed path averages over
+        # the whole batch; shards must agree on one delta)
+        num = jax.lax.psum(
+            jnp.sum(jnp.log(jnp.maximum(d_tot, 1.0) + 1.0) * nmask_f),
+            axis)
+        den = jax.lax.psum(nmask_f.sum(), axis)
+        delta = num / jnp.maximum(den, 1.0)
+        delta = jax.lax.stop_gradient(
+            jnp.maximum(delta, 1e-6)).astype(feats.dtype)
+        amp = (logd / delta)[..., None].astype(feats.dtype)
+        att = (delta / logd)[..., None].astype(feats.dtype)
+        w_id, w_amp, w_att = jnp.split(mix_w, 3, axis=1)
+        return (jnp.einsum("ntf,tfh->nh", feats, w_id)
+                + jnp.einsum("ntf,tfh->nh", feats * amp, w_amp)
+                + jnp.einsum("ntf,tfh->nh", feats * att, w_att))
+    return agg_fn
+
+
 def halo_shmp_core(params, cfg, part_shard, axis: str = "graph",
                    train: bool = False, rng=None):
     """SHMP core over ONE sharded graph — runs INSIDE shard_map, one
@@ -688,12 +764,10 @@ def halo_shmp_core(params, cfg, part_shard, axis: str = "graph",
         # per-(dst,type) softmax: local once sources arrive — needs a
         # pull-only partition (see halo_gat_aggregator)
         agg = halo_gat_aggregator(cfg, part_shard, params["att"], axis)
+    elif cfg.conv_type == "PNA":
+        agg = halo_pna_aggregator(cfg, part_shard, params["pna_mix"],
+                                  axis)
     else:
-        assert cfg.conv_type != "PNA", (
-            "halo path supports SAGE/GIN/GCN/GAT; PNA's per-(dst,type) "
-            "statistics need the same force_pull treatment as GAT and "
-            "are not wired (PNA is dead code in the reference, "
-            "gnn_model.py:263-271)")
         agg = halo_aggregator(cfg, part_shard, axis)
     return run_shmp_layers(
         params, cfg, x, ntype, nmask, agg, train=train, rng=rng)

@@ -225,6 +225,10 @@ def run_training(
             log_fn(msg)
             raise FloatingPointError(msg)
         tl = float(loss_sum) / n_train
+        t_train = time.time() - t0  # the float(loss_sum) read-back above
+        # is the real completion barrier on this platform, so t_train
+        # covers exactly the train steps; the logged edges/s must not be
+        # flattered or diluted by the host val pass below
         vl = val_loss(params)
         times.append(time.time() - t0)
         train_losses.append(tl)
@@ -241,7 +245,7 @@ def run_training(
         if log_every and (epoch % log_every == 0 or epoch == epochs - 1):
             log_fn(f"epoch {epoch:4d} train {tl:.5f} val {vl:.5f} "
                    f"lr {sched.lr:.2e} {times[-1]:.2f}s "
-                   f"{epoch_edges / max(times[-1], 1e-9) / 1e6:.1f}M edges/s")
+                   f"{epoch_edges / max(t_train, 1e-9) / 1e6:.1f}M edges/s")
         if ckpt_path and snapshot_every and (
                 epoch % snapshot_every == 0 or epoch == epochs - 1):
             save_checkpoint(
