@@ -281,6 +281,29 @@ def pallas_sorted_segment_sum(
     return out[:n_segments, :k]
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def sorted_segment_sum_ad(msgs, seg, n_segments: int):
+    """Differentiable ``pallas_sorted_segment_sum``: the VJP w.r.t. msgs
+    is one gather of the cotangent by segment id (out-of-range/padding
+    keys get zero). Used by the halo path (parallel/halo.py) so sharded
+    aggregation runs at kernel speed on TPU while gradients keep flowing
+    through the exchange."""
+    return pallas_sorted_segment_sum(msgs, seg, n_segments)
+
+
+def _ssum_ad_fwd(msgs, seg, n_segments):
+    return pallas_sorted_segment_sum(msgs, seg, n_segments), seg
+
+
+def _ssum_ad_bwd(n_segments, seg, g):
+    live = (seg < n_segments) & (seg >= 0)
+    d = jnp.take(g, jnp.where(live, seg, 0), axis=0)
+    return d * live[:, None].astype(d.dtype), None
+
+
+sorted_segment_sum_ad.defvjp(_ssum_ad_fwd, _ssum_ad_bwd)
+
+
 # ------------------------------------------------------- public op (VJP)
 def fused_typed_transform_aggregate(x, edge_src, keys, conv_w,
                                     n_types: int, n_nodes: int,

@@ -496,6 +496,20 @@ def partition_typed_graph(
 
 
 # ------------------------------------------------------------- device side
+def _halo_segment_sum(msgs: jnp.ndarray, seg: jnp.ndarray,
+                      n_segments: int) -> jnp.ndarray:
+    """Sorted segment-sum for the halo streams: the fused Pallas kernel
+    on real TPU (streams are (dst,type)-sorted by construction, k <= 128;
+    bf16 reduce / f32 accumulate like every TPU matmul), plain XLA on
+    CPU. Differentiable on both paths (sorted_segment_sum_ad)."""
+    from ..ops.pallas_segment import default_agg_mode, sorted_segment_sum_ad
+
+    if default_agg_mode() == "pallas" and msgs.shape[1] <= 128:
+        return sorted_segment_sum_ad(
+            msgs, seg, n_segments).astype(msgs.dtype)
+    return segment_sum(msgs, seg, n_segments, indices_are_sorted=True)
+
+
 def halo_exchange(x_local: jnp.ndarray, send_idx: jnp.ndarray,
                   send_mask: jnp.ndarray, axis: str = "graph") -> jnp.ndarray:
     """Inside shard_map: exchange boundary features.
@@ -545,8 +559,8 @@ def halo_typed_aggregate(
 
     # (2) interior stream: local sources only
     msgs_i = jnp.take(x_local, shard.edge_src_int, axis=0)
-    comb = segment_sum(msgs_i, shard.edge_seg_int, n_loc * t + d * p_max,
-                       indices_are_sorted=True)
+    comb = _halo_segment_sum(msgs_i, shard.edge_seg_int,
+                             n_loc * t + d * p_max)
     agg = comb[:n_loc * t]
 
     # (3) push exchange of the interior partials
@@ -559,8 +573,8 @@ def halo_typed_aggregate(
     # (4) boundary stream: sources in the received halo table
     if shard.edge_src_bnd.shape[-1]:
         msgs_b = jnp.take(halo, shard.edge_src_bnd, axis=0)
-        agg = agg + segment_sum(msgs_b, shard.edge_seg_bnd, n_loc * t,
-                                indices_are_sorted=True)
+        agg = agg + _halo_segment_sum(msgs_b, shard.edge_seg_bnd,
+                                      n_loc * t)
 
     # (5) received push partials: dead slots carry exact zeros and
     # out-of-range targets (dropped)
