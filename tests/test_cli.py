@@ -89,3 +89,15 @@ def test_cli_dp_serving_bit_identical(trained_dp):
     b = open(os.path.join(trained_dp["out"], "eval_d8",
                           "graphlet_count_syn_12.csv")).read()
     assert a == b
+
+
+def test_query_ids_flag_reaches_config():
+    from desco_tpu.config import build_parser, to_pipeline_config
+
+    args = build_parser().parse_args(["--query_ids", "6", "8006"])
+    cfg = to_pipeline_config(args)
+    assert cfg.query_ids == [6, 8006]
+    # without the flag, sizes derive the standard 29
+    args = build_parser().parse_args(["--query_sizes", "3", "4", "5"])
+    cfg = to_pipeline_config(args)
+    assert len(cfg.query_ids) == 29
