@@ -26,6 +26,7 @@ import numpy as np
 
 from ..graph.container import Graph, relabel_graph
 from .synthetic import load_or_generate_synthetic, read_edge_list_dataset
+from .tu_proxy import TU_PROXY_RECIPES, load_or_generate_proxy
 
 # canonical-name table: registry name -> TU directory name
 TU_NAMES = {
@@ -272,6 +273,10 @@ def load_data(
         graphs = load_or_generate_synthetic(
             n, os.path.join(root_folder, name), min_size=5, max_size=41,
             recipe="combined")
+    elif name in TU_PROXY_RECIPES:
+        # structural stand-ins for the unobtainable TU benchmarks
+        # (tu_proxy.py docstring; results on these are labeled proxies)
+        graphs = load_or_generate_proxy(name, os.path.join(root_folder, name))
     elif name in TU_NAMES:
         graphs = load_tu_dataset(root_folder, TU_NAMES[name], with_labels)
     elif name in ("P2P", "Astro"):

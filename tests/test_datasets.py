@@ -118,3 +118,51 @@ def test_extended_atlas_patterns():
         g = graph_atlas_plus(qid)
         assert g.number_of_nodes() == qid // 1000
         assert nx.is_connected(g)
+
+
+def test_tu_proxy_statistics(tmp_path):
+    """The TU-proxy families (tu_proxy.py) track the published summary
+    statistics of the datasets they stand in for, are connected, simple,
+    deterministic in seed, and round-trip through the disk cache."""
+    import networkx as nx
+
+    from desco_tpu.data.tu_proxy import (
+        TU_PROXY_RECIPES, load_or_generate_proxy)
+
+    published = {  # (mean nodes, mean edges), TUDataset statistics
+        "ChemProxy": (17.93, 19.79),
+        "ChemBigProxy": (41.22, 43.45),
+        "GeoProxy": (32.63, 62.14),
+        "EgoProxy": (19.77, 96.53),
+        "SuperpixelProxy": (77.52, 198.32),
+    }
+    for name, (fn, count, kw) in TU_PROXY_RECIPES.items():
+        sample = min(count, 80)
+        graphs = fn(sample, seed=0, **kw)
+        ns = np.mean([g.n_nodes for g in graphs])
+        ms = np.mean([g.n_edges for g in graphs])
+        pn, pm = published[name]
+        assert abs(ns - pn) / pn < 0.25, (name, ns, pn)
+        assert abs(ms - pm) / pm < 0.35, (name, ms, pm)
+        for g in graphs[:20]:
+            nxg = nx.Graph()
+            nxg.add_nodes_from(range(g.n_nodes))
+            nxg.add_edges_from(g.edges.tolist())
+            assert nx.is_connected(nxg)
+            assert nxg.number_of_edges() == g.n_edges  # simple, no dupes
+        again = fn(sample, seed=0, **kw)
+        assert all(np.array_equal(a.edges, b.edges)
+                   for a, b in zip(graphs, again))
+    # valence cap holds for the chemistry family
+    fn, _, kw = TU_PROXY_RECIPES["ChemProxy"]
+    for g in fn(40, seed=3, **kw):
+        deg = np.zeros(g.n_nodes, np.int64)
+        np.add.at(deg, g.edges.ravel(), 1)
+        assert deg.max() <= 4
+
+    # disk cache round-trip through the shared raw format + load_data
+    got = load_or_generate_proxy("ChemProxy", str(tmp_path / "ChemProxy"))
+    cached = load_or_generate_proxy("ChemProxy", str(tmp_path / "ChemProxy"))
+    assert len(got) == 188 and len(cached) == 188
+    assert all(a.n_nodes == b.n_nodes and len(a.edges) == len(b.edges)
+               for a, b in zip(got, cached))
