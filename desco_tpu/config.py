@@ -73,7 +73,9 @@ def build_parser() -> argparse.ArgumentParser:
     o.add_argument("--num_cpu", type=int, default=8)
     o.add_argument("--data_root", type=str, default="data")
     o.add_argument("--output_dir", type=str, default=None)
-    o.add_argument("--neigh_checkpoint", type=str, default=None)
+    # one path serves that model; several paths serve their ensemble
+    # (stage-1 predictions averaged in log2(count+1) space)
+    o.add_argument("--neigh_checkpoint", type=str, nargs="+", default=None)
     o.add_argument("--gossip_checkpoint", type=str, default=None)
     o.add_argument("--train_neigh", action="store_true")
     o.add_argument("--train_gossip", action="store_true")

@@ -253,14 +253,29 @@ def neighborhood_predictions(params, tgt_cfg, qry_cfg, query_batch,
         import jax.numpy as jnp
 
         tgt_cfg = dataclasses.replace(tgt_cfg, dtype=jnp.bfloat16)
-    if mesh is not None and int(mesh.devices.size) > 1:
-        from .parallel.dp import dp_predict_neighborhood_counts
 
-        counts = dp_predict_neighborhood_counts(
-            params, tgt_cfg, qry_cfg, query_batch, stage.batches, mesh)
+    def _one_forward(member):
+        if mesh is not None and int(mesh.devices.size) > 1:
+            from .parallel.dp import dp_predict_neighborhood_counts
+
+            return dp_predict_neighborhood_counts(
+                member, tgt_cfg, qry_cfg, query_batch, stage.batches, mesh)
+        return train_loop.predict_neighborhood_counts(
+            member, tgt_cfg, qry_cfg, query_batch, stage.batches)
+
+    if isinstance(params, (list, tuple)) and len(params) == 1:
+        params = params[0]
+    if isinstance(params, (list, tuple)):
+        # checkpoint ensemble: average members in the model's native
+        # log2(count+1) space (geometric-mean-like — count errors are
+        # multiplicative), then de-log back to counts. Clamp/verify run
+        # once on the combined prediction.
+        member_counts = [_one_forward(p) for p in params]
+        logs = np.mean([np.log2(np.maximum(c, 0.0) + 1.0)
+                        for c in member_counts], axis=0)
+        counts = np.exp2(logs) - 1.0
     else:
-        counts = train_loop.predict_neighborhood_counts(
-            params, tgt_cfg, qry_cfg, query_batch, stage.batches)
+        counts = _one_forward(params)
     verified = np.zeros(0, np.int64)
     if cfg is not None and cfg.clamp_counts:
         from .truth.bounds import clamp_counts

@@ -130,13 +130,16 @@ def main(argv=None) -> int:
         neigh_params = res.best_params
         print(f"best neighborhood val loss: {res.best_val:.5f}")
     else:
-        ckpt = args.neigh_checkpoint
-        if ckpt is None:
+        ckpts = args.neigh_checkpoint
+        if not ckpts:
             raise SystemExit("need --train_neigh or --neigh_checkpoint")
         template = neigh_mod.init_neighborhood_model(
             jax.random.PRNGKey(0), tgt_cfg, qry_cfg)
-        neigh_params, _, _ = load_checkpoint(ckpt, template)
-        print(f"loaded neighborhood model from {ckpt}")
+        members = [load_checkpoint(c, template)[0] for c in ckpts]
+        # several checkpoints -> serve their ensemble (pipeline.py
+        # averages stage-1 predictions in log2(count+1) space)
+        neigh_params = members[0] if len(members) == 1 else members
+        print(f"loaded neighborhood model from {', '.join(ckpts)}")
 
     # stage-1 predictions (verified rows carry EXACT counts)
     with _phase("stage-1 predict+verify (test)"):
@@ -169,7 +172,10 @@ def main(argv=None) -> int:
                       else prepare_gossip_batches(cfg, val_stage,
                                                   counts["val"]))
             gres, query_embs = train_gossip_stage(
-                cfg, neigh_params, tgt_cfg, qry_cfg, qb, train_gb, val_gb,
+                cfg,
+                neigh_params[0] if isinstance(neigh_params, list)
+                else neigh_params,
+                tgt_cfg, qry_cfg, qb, train_gb, val_gb,
                 mesh=mesh,
                 ckpt_path=args.gossip_model_path, resume=args.resume)
             gossip_params = gres.best_params
@@ -185,7 +191,11 @@ def main(argv=None) -> int:
                 emb_channels=cfg.neigh_hidden_dim,
                 layer_num=cfg.gossip_layer_num)
             gossip_params, _, _ = load_checkpoint(ckpt, template)
-            query_embs = neigh_mod.embed_queries(neigh_params, qry_cfg, qb)
+            # gossip conditions on ONE query tower; with an ensemble,
+            # the first member's embeddings are the representative
+            query_embs = neigh_mod.embed_queries(
+                neigh_params[0] if isinstance(neigh_params, list)
+                else neigh_params, qry_cfg, qb)
             print(f"loaded gossip model from {ckpt}")
 
         with _phase("gossip predict (test)"):

@@ -269,3 +269,31 @@ def test_clamp_node_counts(tiny_cfg, tiny_data):
     neg = clamp_node_counts(-np.ones((total, q), np.float32), test,
                             tiny_cfg)
     assert np.all(neg >= 0.0)
+
+
+def test_checkpoint_ensemble_predictions(tiny_cfg, tiny_data):
+    """A list of param pytrees serves the ensemble: stage-1 counts are
+    the log2(count+1)-space mean of the members, and a singleton list
+    matches the single-model path exactly."""
+    import jax
+
+    from desco_tpu.models import neighborhood as neigh_mod
+
+    _, _, test = tiny_data
+    qb = build_query_batch(tiny_cfg)
+    tgt_cfg, qry_cfg = model_configs(tiny_cfg)
+    p1 = neigh_mod.init_neighborhood_model(
+        jax.random.PRNGKey(7), tgt_cfg, qry_cfg)
+    p2 = neigh_mod.init_neighborhood_model(
+        jax.random.PRNGKey(8), tgt_cfg, qry_cfg)
+    cfg = dataclasses.replace(tiny_cfg, clamp_counts=False,
+                              verify_budget=0.0)
+    c1 = neighborhood_predictions(p1, tgt_cfg, qry_cfg, qb, test, cfg)
+    c2 = neighborhood_predictions(p2, tgt_cfg, qry_cfg, qb, test, cfg)
+    ens = neighborhood_predictions([p1, p2], tgt_cfg, qry_cfg, qb, test,
+                                   cfg)
+    want = np.exp2(np.mean([np.log2(np.maximum(c, 0) + 1.0)
+                            for c in (c1, c2)], axis=0)) - 1.0
+    np.testing.assert_allclose(ens, want, rtol=1e-5, atol=1e-5)
+    solo = neighborhood_predictions([p1], tgt_cfg, qry_cfg, qb, test, cfg)
+    np.testing.assert_allclose(solo, c1, rtol=1e-6, atol=1e-6)
