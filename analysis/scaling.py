@@ -86,7 +86,7 @@ def main() -> int:
                    choices=["er", "ba", "rgg", "comm"],
                    help="er: uniform random; ba: preferential attachment "
                         "(hub skew); rgg: random geometric (spatial "
-                        "locality); comm: 8 ER communities w/ 1% cross")
+                        "locality); comm: 8 ER communities w/ 1%% cross")
     p.add_argument("--locality", type=str, default="metis",
                    choices=["none", "bfs", "metis"],
                    help="node reordering before contiguous cuts: "
