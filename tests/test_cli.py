@@ -101,3 +101,14 @@ def test_query_ids_flag_reaches_config():
     args = build_parser().parse_args(["--query_sizes", "3", "4", "5"])
     cfg = to_pipeline_config(args)
     assert len(cfg.query_ids) == 29
+
+
+def test_neigh_checkpoint_accepts_multiple_paths():
+    from desco_tpu.config import build_parser
+
+    args = build_parser().parse_args(
+        ["--neigh_checkpoint", "ckpt/a/neigh.best", "ckpt/b/neigh.best"])
+    assert args.neigh_checkpoint == ["ckpt/a/neigh.best",
+                                     "ckpt/b/neigh.best"]
+    args = build_parser().parse_args(["--neigh_checkpoint", "just/one"])
+    assert args.neigh_checkpoint == ["just/one"]
