@@ -93,7 +93,7 @@ class CountingService:
 
     def __init__(
         self,
-        neigh_checkpoint: str,
+        neigh_checkpoint,  # str, or a sequence of str for an ensemble
         gossip_checkpoint: Optional[str] = None,
         config_overrides: Optional[dict] = None,
         cfg: Optional[PipelineConfig] = None,
@@ -115,11 +115,17 @@ class CountingService:
 
             enable_compilation_cache(compile_cache)
 
+        # a list/tuple of checkpoint paths serves their ensemble
+        # (pipeline.py: stage-1 predictions averaged in log2(count+1)
+        # space); config rehydrates from the first member
+        neigh_ckpts = ([neigh_checkpoint]
+                       if isinstance(neigh_checkpoint, str)
+                       else list(neigh_checkpoint))
         if cfg is None:
             # peek at the checkpoint's saved config for rehydration
             import json
 
-            with open(neigh_checkpoint + ".json") as f:
+            with open(neigh_ckpts[0] + ".json") as f:
                 meta = json.load(f)
             cfg = _rehydrate_config(meta, config_overrides)
         elif config_overrides:
@@ -130,8 +136,8 @@ class CountingService:
 
         template = neigh_mod.init_neighborhood_model(
             jax.random.PRNGKey(0), self.tgt_cfg, self.qry_cfg)
-        self.neigh_params, _, _ = load_checkpoint(neigh_checkpoint,
-                                                  template)
+        members = [load_checkpoint(c, template)[0] for c in neigh_ckpts]
+        self.neigh_params = members[0] if len(members) == 1 else members
         self.gossip_params = None
         self.query_embs = None
         if gossip_checkpoint is not None:
@@ -143,8 +149,9 @@ class CountingService:
             self.gossip_params, _, _ = load_checkpoint(gossip_checkpoint,
                                                        g_template)
             # static query set -> embed once, reuse every request
+            # (gossip conditions on ONE query tower: the first member)
             self.query_embs = neigh_mod.embed_queries(
-                self.neigh_params, self.qry_cfg, self.query_batch)
+                members[0], self.qry_cfg, self.query_batch)
         self.mesh = None
         if n_devices == -1:
             n_devices = len(jax.devices())

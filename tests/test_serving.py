@@ -318,3 +318,28 @@ def test_service_capacity_buckets(ckpts):
     assert min(svc._neigh_buckets) <= g_key
     assert r1.graphlet_counts.shape == (3, 29)
     assert r2.graphlet_counts.shape == (3, 29)
+
+
+def test_service_checkpoint_ensemble(ckpts):
+    """A list of checkpoint paths serves the ensemble: a singleton list
+    is identical to the single-path service, and a two-member ensemble
+    of DIFFERENT weights still runs the full pipeline and differs from
+    either member (the log-space mean is exactness-tested at the
+    pipeline layer, test_pipeline.py)."""
+    np_path, gp_path, cfg = ckpts
+    graphs = generate_synthetic(4, min_size=10, max_size=20, seed=9)
+
+    solo = CountingService(np_path, gp_path).count(graphs)
+    single = CountingService([np_path], gp_path).count(graphs)
+    np.testing.assert_array_equal(single.graphlet_counts,
+                                  solo.graphlet_counts)
+
+    # second member: different weights under the same config
+    tgt, qry = model_configs(cfg)
+    p2 = neigh_mod.init_neighborhood_model(jax.random.PRNGKey(42),
+                                           tgt, qry)
+    np2_path = np_path + "_m2"
+    save_checkpoint(np2_path, p2, config=dataclasses.asdict(cfg))
+    ens = CountingService([np_path, np2_path], gp_path).count(graphs)
+    assert ens.graphlet_counts.shape == solo.graphlet_counts.shape
+    assert not np.array_equal(ens.graphlet_counts, solo.graphlet_counts)
