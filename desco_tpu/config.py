@@ -94,6 +94,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "neighborhoods (top predicted tail, per query) "
                         "recounted exactly with the native VF2; 0 "
                         "disables")
+    o.add_argument("--exact_size", type=int, default=0,
+                   help="serve every query with <= this many nodes "
+                        "EXACTLY (native VF2 over all neighborhoods; "
+                        "size-3 wedge/triangle columns cost pennies); "
+                        "0 = fully learned (reference parity)")
     o.add_argument("--compile_cache", type=str, default=None,
                    help="persistent XLA compilation cache directory; "
                         "re-runs of the same config reload compiled "
@@ -134,5 +139,6 @@ def to_pipeline_config(args: argparse.Namespace) -> PipelineConfig:
         num_workers=args.num_cpu,
         clamp_counts=args.clamp_counts,
         verify_budget=args.verify_budget,
+        exact_size=args.exact_size,
         use_node_feature=args.use_node_feature,
     )

@@ -86,6 +86,12 @@ class PipelineConfig:
     # the recount uses only the input graph and costs ~budget*N subgraph
     # counts. 0 disables.
     verify_budget: float = 1e-3
+    # exact-count every query with <= this many nodes for EVERY
+    # neighborhood (native VF2 on the neighborhood subgraphs) and serve
+    # those columns exactly — size-3 patterns (wedge/triangle) cost
+    # pennies next to the forward and are where dense-graph counts
+    # explode. 0 disables (default: fully learned, reference parity).
+    exact_size: int = 0
     # labeled (node-feature) mode: queries expand to all one-hot label
     # assignments (neigh_input_dim = #labels) and ground truth uses
     # label-preserving matching (reference use_node_feature,
@@ -283,6 +289,10 @@ def neighborhood_predictions(params, tgt_cfg, qry_cfg, query_batch,
         ubs = stage_bounds(stage, cfg,
                            canonical_type=tgt_cfg.canonical_type)
         counts = clamp_counts(counts, ubs)
+    if cfg is not None and cfg.exact_size > 0:
+        # exact small-query columns BEFORE the tail ranking, so the
+        # verifier's per-column top-k sees exact values there
+        counts, _ = exact_small_counts(counts, stage, cfg)
     if cfg is not None and cfg.verify_budget > 0:
         counts, verified = verify_tail_counts(counts, stage, cfg)
     if return_verified:
@@ -364,6 +374,98 @@ def verify_tail_counts(counts: np.ndarray, stage: StageData,
     for nb, i, cc in zip(nbs, rows, per_nb):
         counts[i] = cc[nb.canonical]
     return counts, row_arr
+
+
+def exact_columns(cfg: PipelineConfig) -> np.ndarray:
+    """Query columns served exactly under cfg.exact_size (<= that many
+    nodes). Deterministic in the config, so post-gossip overrides can
+    recompute it."""
+    if cfg.exact_size <= 0:
+        return np.zeros(0, np.int64)
+    return np.asarray([i for i, q in enumerate(pipeline_queries(cfg))
+                       if q.n_nodes <= cfg.exact_size], np.int64)
+
+
+def exact_small_counts(counts: np.ndarray, stage: StageData,
+                       cfg: PipelineConfig):
+    """Serve every query with <= cfg.exact_size nodes EXACTLY: recount
+    those columns for ALL neighborhoods with the native VF2 on the
+    neighborhood subgraphs (rebuilt from the staged samples — no
+    re-extraction). Size-3 patterns are wedge/triangle enumeration,
+    linear-ish in neighborhood edges; this closes the dense-regime gap
+    where learned counts of huge low-variance columns dominate the
+    error. Uses only the input graph. Returns (counts copy, column
+    indices now exact)."""
+    queries = pipeline_queries(cfg)
+    qcols = exact_columns(cfg)
+    if not len(qcols):
+        return counts, np.zeros(0, np.int64)
+    sub_queries = [queries[i] for i in qcols]
+
+    from .batch.build import CANONICAL
+    from .graph.container import Graph
+    from .truth import native as truth_native
+    from .truth.vf2 import (
+        canonical_counts as py_canonical_counts,
+        count_induced_embeddings,
+        symmetric_factor,
+    )
+
+    graphs, canon = [], []
+    for s in stage.samples:
+        und = s.edge_src < s.edge_dst
+        edges = np.unique(np.stack(
+            [s.edge_src[und], s.edge_dst[und]], 1).astype(np.int32),
+            axis=0)
+        g = Graph(s.n_nodes, edges)
+        if cfg.use_node_feature:
+            g.node_feat = s.x
+        graphs.append(g)
+        canon.append(int(np.argmax(s.node_type == CANONICAL)))
+
+    counts = counts.copy()
+    cols = np.asarray(qcols, np.int64)
+    if cfg.use_node_feature:
+        q_labels = [q.node_feat.argmax(-1).astype(np.int32)
+                    for q in sub_queries]
+        sf = [max(symmetric_factor(q, q_labels[j]), 1)
+              for j, q in enumerate(sub_queries)]
+        for r, (g, cv) in enumerate(zip(graphs, canon)):
+            t_lab = g.node_feat.argmax(-1).astype(np.int32)
+            for j, q in enumerate(sub_queries):
+                per = np.zeros(g.n_nodes, np.int64)
+                if truth_native.native_available():
+                    truth_native.vf2_count_native(g, q, per, t_lab,
+                                                  q_labels[j])
+                else:
+                    count_induced_embeddings(g, q, per, t_lab,
+                                             q_labels[j])
+                counts[r, cols[j]] = per[cv] / sf[j]
+        return counts, cols
+    if truth_native.native_available():
+        per_nb = truth_native.parallel_canonical_counts(
+            graphs, sub_queries, cfg.num_workers)
+    else:
+        per_nb = [py_canonical_counts(g, sub_queries) for g in graphs]
+    for r, (cc, cv) in enumerate(zip(per_nb, canon)):
+        counts[r, cols] = cc[cv]
+    return counts, cols
+
+
+def apply_exact_column_override(gossip_node_counts: np.ndarray,
+                                neigh_counts: np.ndarray,
+                                exact_cols: np.ndarray,
+                                nindex) -> np.ndarray:
+    """Keep exactly-counted query columns (exact_small_counts) exact
+    through the gossip stage: write the stage-1 exact value back at
+    every neighborhood's canonical node row (indicator scatter, same
+    mapping as apply_verified_override). Returns a copy."""
+    out = np.array(gossip_node_counts)
+    if len(exact_cols):
+        node_rows = np.nonzero(np.asarray(nindex.indicator))[0]
+        out[np.ix_(node_rows, np.asarray(exact_cols))] = (
+            neigh_counts[:, np.asarray(exact_cols)])
+    return out
 
 
 def stage_bounds(stage: StageData, cfg: PipelineConfig,

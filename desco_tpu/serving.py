@@ -266,6 +266,13 @@ class CountingService:
                     canonical_type=self.tgt_cfg.canonical_type)
             node_counts = apply_verified_override(
                 node_counts, counts, verified, stage.nindex)
+            if self.cfg.exact_size > 0:
+                from .pipeline import (
+                    apply_exact_column_override, exact_columns)
+
+                node_counts = apply_exact_column_override(
+                    node_counts, counts, exact_columns(self.cfg),
+                    stage.nindex)
             graphlet = stage.workload.aggregate_node_counts(node_counts)
             return CountResult(
                 graphlet_counts=np.round(np.maximum(graphlet, 0.0)),
@@ -337,6 +344,13 @@ class CountingService:
                 canonical_type=self.tgt_cfg.canonical_type)
         node_counts = apply_verified_override(
             node_counts, counts, verified, stage.nindex)
+        if self.cfg.exact_size > 0:
+            from .pipeline import (
+                apply_exact_column_override, exact_columns)
+
+            node_counts = apply_exact_column_override(
+                node_counts, counts, exact_columns(self.cfg),
+                stage.nindex)
         graphlet = stage.workload.aggregate_node_counts(node_counts)
         return CountResult(
             graphlet_counts=np.round(np.maximum(graphlet, 0.0)),

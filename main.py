@@ -217,6 +217,13 @@ def main(argv=None) -> int:
         gossip_node_counts = apply_verified_override(
             gossip_node_counts, counts["test"], verified_rows,
             test_stage.nindex)
+        if cfg.exact_size > 0:
+            from desco_tpu.pipeline import (
+                apply_exact_column_override, exact_columns)
+
+            gossip_node_counts = apply_exact_column_override(
+                gossip_node_counts, counts["test"], exact_columns(cfg),
+                test_stage.nindex)
 
         # gossip gate analysis (main.py:432-439)
         gates = np.asarray(gate_values(gossip_params, query_embs))

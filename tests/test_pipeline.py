@@ -297,3 +297,39 @@ def test_checkpoint_ensemble_predictions(tiny_cfg, tiny_data):
     np.testing.assert_allclose(ens, want, rtol=1e-5, atol=1e-5)
     solo = neighborhood_predictions([p1], tgt_cfg, qry_cfg, qb, test, cfg)
     np.testing.assert_allclose(solo, c1, rtol=1e-6, atol=1e-6)
+
+
+def test_exact_small_counts_match_truth(tiny_cfg, tiny_data):
+    """With cfg.exact_size = 3, every size-3 query column of the served
+    stage-1 counts equals the exact canonical ground truth for EVERY
+    neighborhood (not just the verified tail), regardless of weights;
+    and the post-gossip column override preserves them."""
+    import jax
+
+    from desco_tpu.models import neighborhood as neigh_mod
+    from desco_tpu.pipeline import (
+        apply_exact_column_override, exact_columns)
+
+    _, _, test = tiny_data
+    qb = build_query_batch(tiny_cfg)
+    tgt_cfg, qry_cfg = model_configs(tiny_cfg)
+    params = neigh_mod.init_neighborhood_model(
+        jax.random.PRNGKey(3), tgt_cfg, qry_cfg)  # untrained on purpose
+    cfg = dataclasses.replace(tiny_cfg, exact_size=3, verify_budget=0.0)
+    counts = neighborhood_predictions(params, tgt_cfg, qry_cfg, qb,
+                                      test, cfg)
+    cols = exact_columns(cfg)
+    assert len(cols) == len(tiny_cfg.query_ids)  # tiny cfg is size-3 only
+    # stage truth is per NODE; neighborhood rows map via the indicator
+    node_rows = np.nonzero(np.asarray(test.nindex.indicator))[0]
+    np.testing.assert_allclose(counts[:, cols],
+                               test.truth[node_rows][:, cols])
+
+    # a fake gossip output is overridden back to exact on those columns
+    fake = np.full((test.truth.shape[0], counts.shape[1]), 7.5)
+    fixed = apply_exact_column_override(fake, counts, cols, test.nindex)
+    np.testing.assert_allclose(fixed[node_rows][:, cols],
+                               counts[:, cols])
+    untouched = np.setdiff1d(np.arange(counts.shape[1]), cols)
+    if len(untouched):
+        assert (fixed[:, untouched] == 7.5).all()
