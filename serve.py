@@ -40,6 +40,8 @@ def build_service(args):
         overrides["verify_budget"] = args.verify_budget
     if args.bf16:
         overrides["serve_bf16"] = True
+    if args.exact_size:
+        overrides["exact_size"] = args.exact_size
     return CountingService(
         args.neigh_ckpt, args.gossip_ckpt,
         config_overrides=overrides or None,
@@ -92,7 +94,8 @@ def serve_lines(svc, rfile, wfile, large_threshold: int) -> None:
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--neigh_ckpt", required=True)
+    # several paths serve their ensemble (CountingService docs)
+    ap.add_argument("--neigh_ckpt", required=True, nargs="+")
     ap.add_argument("--gossip_ckpt", default=None)
     ap.add_argument("--n_devices", type=int, default=1,
                     help=">1: DP-shard forwards over a data mesh axis")
@@ -100,6 +103,8 @@ def main(argv=None) -> int:
                     help="single graphs >= this go through the "
                          "halo-sharded path")
     ap.add_argument("--verify_budget", type=float, default=None)
+    ap.add_argument("--exact_size", type=int, default=0,
+                    help="serve queries with <= N nodes exactly")
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--tcp", default=None, metavar="HOST:PORT",
                     help="serve line-JSON over TCP instead of stdio")
