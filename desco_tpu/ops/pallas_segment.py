@@ -256,8 +256,8 @@ def pallas_sorted_segment_sum(
         num_scalar_prefetch=3,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # seg (flat, HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),   # msgs (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),      # seg (flat, HBM)
+            pl.BlockSpec(memory_space=pl.ANY),      # msgs (HBM)
         ],
         out_specs=pl.BlockSpec((seg_tile, lanes), lambda i, *_: (i, 0)),
         scratch_shapes=[
