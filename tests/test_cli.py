@@ -112,3 +112,23 @@ def test_neigh_checkpoint_accepts_multiple_paths():
                                      "ckpt/b/neigh.best"]
     args = build_parser().parse_args(["--neigh_checkpoint", "just/one"])
     assert args.neigh_checkpoint == ["just/one"]
+
+
+def test_cli_extended_query_end_to_end(roots):
+    """The 8-14-node benchmark patterns (atlas-plus ids 8000+,
+    reference workload.py:1128-1671) run end-to-end through the CLI:
+    ground truth, both training stages, and the final metrics for an
+    8-node query (id 8006, diameter 4 = the default depth)."""
+    rc = cli_main(_common(roots, "train_q8") + [
+        "--train_neigh", "--train_gossip", "--test_gossip",
+        "--neigh_epoch_num", "1", "--gossip_epoch_num", "1",
+        "--query_ids", "6", "7", "8006",
+        "--depth", "4",
+    ])
+    assert rc == 0
+    out = os.path.join(roots["out"], "train_q8")
+    counts = open(os.path.join(out, "graphlet_count_syn_12.csv")).read()
+    header = counts.splitlines()[0]
+    assert len(header.split(",")) == 4  # index + one column per query
+    res = open(os.path.join(out, "analyze_results_syn_12.txt")).read()
+    assert "norm_mse_gossip" in res
