@@ -164,8 +164,8 @@ def main() -> int:
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_tiles,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                      pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec((seg_tile, LANES), lambda i, *_: (i, 0)),
             scratch_shapes=[
                 pltpu.VMEM((seg_tile, LANES), jnp.float32),

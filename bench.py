@@ -179,6 +179,34 @@ def main() -> int:
     per_fwd = dt / n_iters
     sol = model_bytes / per_fwd / hbm_bw
 
+    # ---- one full jitted TRAIN step (fwd + bwd + adam), same workload.
+    # The training loss needs labels; the bench batch carries none, so
+    # attach synthetic integer counts (shape/dtype of the real path).
+    import dataclasses
+
+    from desco_tpu.train.loop import make_adam, neighborhood_step_fn
+
+    rng_np = np.random.default_rng(0)
+    tb = dataclasses.replace(
+        batch, y=jnp.asarray(rng_np.integers(0, 50, (batch.g_cap, 29)),
+                             jnp.float32))
+    tb = jax.device_put(tb)
+    tx = make_adam(0.0)
+    step = jax.jit(neighborhood_step_fn(tgt_cfg, qry_cfg, qb, tx),
+                   donate_argnums=(0, 1))
+    opt_state = tx.init(params)
+    lr = jnp.float32(1e-4)
+    rng = jax.random.PRNGKey(1)
+    p, o, loss = step(params, opt_state, tb, lr, rng)
+    _ = float(loss)  # compile + completion
+    t0 = time.perf_counter()
+    n_train_iters = max(10, n_iters // 4)
+    for _ in range(n_train_iters):
+        p, o, loss = step(p, o, tb, lr, rng)
+    _ = float(loss)
+    train_dt = time.perf_counter() - t0
+    train_edges_per_s = valid_edges * n_train_iters / train_dt
+
     print(json.dumps({
         "metric": "shmp_neighborhood_forward_edges_per_s_per_chip",
         "value": round(edges_per_s, 1),
@@ -188,6 +216,8 @@ def main() -> int:
         "bytes_per_edge_layer": round(model_bytes / 8 / valid_edges, 1),
         "sol_fraction": round(sol, 4),
         "hbm_gbps_assumed": hbm_bw / 1e9,
+        "train_edges_per_s": round(train_edges_per_s, 1),
+        "train_step_ms": round(train_dt / n_train_iters * 1e3, 3),
     }))
     return 0
 
