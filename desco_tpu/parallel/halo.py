@@ -531,6 +531,7 @@ def halo_typed_aggregate(
     x_local: jnp.ndarray,       # [n_loc, H]
     shard: HaloPartition,       # one device's shard (leading axis stripped)
     axis: str = "graph",
+    tag: str = "",
 ) -> jnp.ndarray:
     """Hybrid typed aggregation over this shard's resident edges:
     [n_loc, T, H] — structured so both collectives overlap independent
@@ -548,33 +549,45 @@ def halo_typed_aggregate(
 
     All collectives are differentiable, so gradients flow for halo
     training; exactness vs the single-device aggregation is tested
-    (tests/test_halo.py)."""
+    (tests/test_halo.py).
+
+    The five steps carry ``jax.named_scope`` tags (halo_pull{tag},
+    halo_interior{tag}, ...) so parallel/overlap_check.py can PROVE the
+    overlap structure mechanically: the interior stream must carry no
+    data dependence on the same-layer pull all_to_all, nor the boundary
+    stream on the push (tested in tests/test_halo.py and asserted by
+    dryrun_multichip)."""
     n_loc, h = x_local.shape
     t = shard.n_types
     d = shard.send_idx.shape[0]
     p_max = shard.p_max
 
     # (1) pull exchange first — nothing below depends on it until (4)
-    halo = halo_exchange(x_local, shard.send_idx, shard.send_mask, axis)
+    with jax.named_scope(f"halo_pull{tag}"):
+        halo = halo_exchange(x_local, shard.send_idx, shard.send_mask,
+                             axis)
 
     # (2) interior stream: local sources only
-    msgs_i = jnp.take(x_local, shard.edge_src_int, axis=0)
-    comb = _halo_segment_sum(msgs_i, shard.edge_seg_int,
-                             n_loc * t + d * p_max)
-    agg = comb[:n_loc * t]
+    with jax.named_scope(f"halo_interior{tag}"):
+        msgs_i = jnp.take(x_local, shard.edge_src_int, axis=0)
+        comb = _halo_segment_sum(msgs_i, shard.edge_seg_int,
+                                 n_loc * t + d * p_max)
+        agg = comb[:n_loc * t]
 
     # (3) push exchange of the interior partials
     push_in = None
     if p_max:
-        push_out = comb[n_loc * t:].reshape(d, p_max, h)
-        push_in = jax.lax.all_to_all(push_out, axis, split_axis=0,
-                                     concat_axis=0, tiled=False)
+        with jax.named_scope(f"halo_push{tag}"):
+            push_out = comb[n_loc * t:].reshape(d, p_max, h)
+            push_in = jax.lax.all_to_all(push_out, axis, split_axis=0,
+                                         concat_axis=0, tiled=False)
 
     # (4) boundary stream: sources in the received halo table
     if shard.edge_src_bnd.shape[-1]:
-        msgs_b = jnp.take(halo, shard.edge_src_bnd, axis=0)
-        agg = agg + _halo_segment_sum(msgs_b, shard.edge_seg_bnd,
-                                      n_loc * t)
+        with jax.named_scope(f"halo_boundary{tag}"):
+            msgs_b = jnp.take(halo, shard.edge_src_bnd, axis=0)
+            agg = agg + _halo_segment_sum(msgs_b, shard.edge_seg_bnd,
+                                          n_loc * t)
 
     # (5) received push partials: dead slots carry exact zeros and
     # out-of-range targets (dropped)
@@ -590,8 +603,9 @@ def halo_aggregator(cfg, part_shard, axis: str = "graph"):
     assert part_shard.n_types == cfg.n_edge_types, (
         part_shard.n_types, cfg.n_edge_types)
 
-    def agg_fn(x, conv_w, _layer):
-        agg = halo_typed_aggregate(x, part_shard, axis)
+    def agg_fn(x, conv_w, layer):
+        agg = halo_typed_aggregate(x, part_shard, axis,
+                                   tag=f"_L{layer}")
         return jnp.einsum("nth,thk->nk", agg, conv_w)
     return agg_fn
 
@@ -814,11 +828,12 @@ def halo_gossip_single(params, part_shard, x_col_local, query_emb,
     emb = x
 
     deg = halo_typed_aggregate(
-        part_shard.node_mask[:, None], part_shard, axis)[..., 0]  # [n_loc,2]
+        part_shard.node_mask[:, None], part_shard, axis,
+        tag="_L100")[..., 0]  # [n_loc, 2]
 
-    for conv in params["convs"]:
+    for li, conv in enumerate(params["convs"]):
         g = _gate(conv, query_emb)
-        agg = halo_typed_aggregate(x, part_shard, axis)
+        agg = halo_typed_aggregate(x, part_shard, axis, tag=f"_L{li}")
         mixed = g * agg[:, 0] + (1.0 - g) * agg[:, 1]
         wc, bc = conv["com"]
         wdeg = (g * deg[:, 0] + (1.0 - g) * deg[:, 1])[:, None]

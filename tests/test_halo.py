@@ -377,3 +377,57 @@ def test_drop_cross_control_keeps_only_intra(rng):
         n_types=6, drop_cross=True)
     assert part.send_mask.sum() == 0
     assert part.p_max == 0
+
+
+def test_overlap_check_proves_stream_independence(rng):
+    """The jaxpr taint walk (parallel/overlap_check.py) must PROVE the
+    interior stream of each layer has no data dependence on that layer's
+    pull all_to_all (and boundary none on the push) — the checkable form
+    of the halo-overlap claim — and must CATCH a deliberately serialized
+    variant."""
+    from desco_tpu.parallel.halo import halo_exchange, _halo_segment_sum
+    from desco_tpu.parallel.overlap_check import check_halo_overlap
+
+    s, _ = big_typed_graph(rng)
+    n = s.n_nodes
+    cfg = neighborhood_target_config(layer_num=3, hidden_dim=8,
+                                     output_dim=8)
+    params = init_shmp(jax.random.PRNGKey(0), cfg)
+    part = partition_typed_graph(
+        n, s.node_type, s.x, s.edge_src, s.edge_dst, s.edge_type, N_DEV,
+        n_types=6)
+    mesh = jax.sharding.Mesh(make_mesh(N_DEV).devices, ("graph",))
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=(P(), P("graph")),
+             out_specs=P("graph"))
+    def fwd(p, shard):
+        shard = jax.tree_util.tree_map(lambda a: a[0], shard)
+        return halo_shmp_core(p, cfg, shard)[None]
+
+    rep = check_halo_overlap(fwd, params, part)
+    assert rep.ok, rep.summary()
+    assert rep.pull_layers == {0, 1, 2}
+    assert rep.interior_layers == {0, 1, 2}
+
+    # negative control: interior stream made to CONSUME the pull result
+    @partial(jax.shard_map, mesh=mesh, in_specs=P("graph"),
+             out_specs=P("graph"))
+    def bad(shard):
+        shard = jax.tree_util.tree_map(lambda a: a[0], shard)
+        x = shard.x
+        with jax.named_scope("halo_pull_L0"):
+            halo = halo_exchange(x, shard.send_idx, shard.send_mask,
+                                 "graph")
+        with jax.named_scope("halo_interior_L0"):
+            # serialized: local messages blocked on the exchange
+            msgs = jnp.take(x, shard.edge_src_int, axis=0)
+            msgs = msgs + halo.sum() * 0.0
+            out = _halo_segment_sum(
+                msgs, shard.edge_seg_int,
+                shard.node_mask.shape[0] * 6 + N_DEV * shard.p_max)
+        return out[None]
+
+    rep_bad = check_halo_overlap(bad, part)
+    assert not rep_bad.ok
+    assert any("interior_L0 depends on pull_L0" in v[0]
+               for v in rep_bad.violations), rep_bad.summary()
