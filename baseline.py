@@ -23,7 +23,10 @@ def main(argv=None) -> int:
                    choices=["DIAMNET", "LRP"])
     p.add_argument("--train_dataset", type=str, default="Syn_64")
     p.add_argument("--valid_dataset", type=str, default=None)
-    p.add_argument("--test_dataset", type=str, default="Syn_64")
+    p.add_argument("--test_dataset", type=str, nargs="+",
+                   default=["Syn_64"],
+                   help="one or more eval sets; the model is trained "
+                        "once and evaluated on each")
     p.add_argument("--query_sizes", type=int, nargs="+", default=[3, 4, 5])
     p.add_argument("--conv_type", type=str, default="GIN")
     p.add_argument("--mem_init", type=str, default="mean",
@@ -44,7 +47,7 @@ def main(argv=None) -> int:
     import jax
     import optax
 
-    from desco_tpu.analysis import mae, norm_mse, round_relu
+    from desco_tpu.analysis import round_relu
     from desco_tpu.batch.build import query_sample
     from desco_tpu.batch.packed import auto_capacities, pack_samples
     from desco_tpu.data.datasets import load_data
@@ -74,10 +77,10 @@ def main(argv=None) -> int:
 
     _, train_b = stage(args.train_dataset + "_train")
     _, val_b = stage(args.valid_dataset + "_val")
-    wl_te, test_b = stage(args.test_dataset)
+    test_sets = [(name, stage(name)[1]) for name in args.test_dataset]
 
     if args.baseline == "LRP":
-        return run_lrp(args, qids, train_b, val_b, wl_te, test_b)
+        return run_lrp(args, qids, train_b, val_b, test_sets)
 
     qs = [query_sample(q, use_tconv=False) for q in queries]
     [qb] = pack_samples(qs, *auto_capacities(qs, g_cap=len(qs)))
@@ -97,7 +100,8 @@ def main(argv=None) -> int:
     seq_len = max(
         int(np.bincount(np.asarray(b.node_graph)[
             np.asarray(b.node_mask) > 0]).max())
-        for b in train_b + val_b + test_b)
+        for _, bs in [("tr", train_b), ("va", val_b)] + test_sets
+        for b in bs)
 
     tx = optax.adam(args.lr)
     opt = tx.init(params)
@@ -112,14 +116,34 @@ def main(argv=None) -> int:
         u, opt = tx.update(g, opt, params)
         return optax.apply_updates(params, u), opt, loss
 
+    @jax.jit
+    def val_loss_fn(params, b, pos):
+        return diamnet_train_loss(params, tower_cfg, dn_cfg, b, pos,
+                                  seq_len, qb, q_pos, q_seq_len)
+
+    def val_loss(params):
+        return float(np.mean([
+            float(val_loss_fn(params, b, jax.numpy.asarray(
+                node_positions(b)))) for b in val_b]))
+
     positions = [jax.numpy.asarray(node_positions(b)) for b in train_b]
+    best_val, best_params = float("inf"), params
+    import time as _time
     for epoch in range(args.epoch_num):
+        t0 = _time.time()
         losses = []
         for b, pos in zip(train_b, positions):
             params, opt, loss = step(params, opt, b, pos)
             losses.append(float(loss))
+        vl = val_loss(params)
+        if vl < best_val:
+            best_val = vl
+            best_params = jax.tree_util.tree_map(jax.numpy.copy, params)
         if epoch % 10 == 0 or epoch == args.epoch_num - 1:
-            print(f"epoch {epoch:4d} train {np.mean(losses):.5f}")
+            print(f"epoch {epoch:4d} train {np.mean(losses):.5f} "
+                  f"val {vl:.5f} {_time.time() - t0:.1f}s", flush=True)
+    params = best_params
+    print(f"best val {best_val:.5f}")
 
     # evaluate: de-logged graphlet counts
     @jax.jit
@@ -128,28 +152,41 @@ def main(argv=None) -> int:
                                qb, q_pos, q_seq_len)
         return 2.0 ** pred - 1.0
 
-    preds, truths = [], []
-    for b in test_b:
-        pos = jax.numpy.asarray(node_positions(b))
-        out = np.asarray(predict(params, b, pos))
-        valid = np.asarray(b.graph_mask) > 0
-        preds.append(out[valid])
-        truths.append(np.asarray(b.y)[valid])
-    preds = np.concatenate(preds)
-    truths = np.concatenate(truths)
     groups = groupby_size(qids)
-    print("DIAMNET graphlet_norm_mse:",
-          norm_mse(round_relu(preds), truths, groups))
-    print("DIAMNET graphlet_mae:", mae(round_relu(preds), truths, groups))
+    for name, test_b in test_sets:
+        preds, truths = [], []
+        for b in test_b:
+            pos = jax.numpy.asarray(node_positions(b))
+            out = np.asarray(predict(params, b, pos))
+            valid = np.asarray(b.graph_mask) > 0
+            preds.append(out[valid])
+            truths.append(np.asarray(b.y)[valid])
+        preds = np.concatenate(preds)
+        truths = np.concatenate(truths)
+        _report("DIAMNET", name, round_relu(preds), truths, groups)
     return 0
 
 
-def run_lrp(args, qids, train_b, val_b, wl_te, test_b) -> int:
+def _report(tag, name, preds, truths, groups):
+    import json
+
+    from desco_tpu.analysis import mae, norm_mse
+
+    nm = norm_mse(preds, truths, groups)
+    ma = mae(preds, truths, groups)
+    print(f"{tag} {name} graphlet_norm_mse:", nm)
+    print(f"{tag} {name} graphlet_mae:", ma)
+    print(json.dumps({"baseline": tag, "dataset": name,
+                      "norm_mse": [float(v) for v in nm],
+                      "mae": [float(v) for v in ma]}), flush=True)
+
+
+def run_lrp(args, qids, train_b, val_b, test_sets) -> int:
     import jax
     import jax.numpy as jnp
     import optax
 
-    from desco_tpu.analysis import mae, norm_mse, round_relu
+    from desco_tpu.analysis import round_relu
     from desco_tpu.graph.atlas import groupby_size
     from desco_tpu.models.lrp import (
         LRPConfig,
@@ -171,7 +208,7 @@ def run_lrp(args, qids, train_b, val_b, wl_te, test_b) -> int:
                 for b in batches], p_cap
 
     train_arrs, _ = prep(train_b)
-    test_arrs, _ = prep(test_b)
+    val_arrs, _ = prep(val_b)
 
     def loss_fn(params, b, pn, pa, po, dg):
         pred = apply_lrp_batch(params, cfg, b, pn, pa, po, dg)
@@ -190,30 +227,47 @@ def run_lrp(args, qids, train_b, val_b, wl_te, test_b) -> int:
         u, opt = tx.update(g, opt, params)
         return optax.apply_updates(params, u), opt, loss
 
+    val_jit = jax.jit(loss_fn)
+
+    def val_loss(params):
+        return float(np.mean([
+            float(val_jit(params, b, pn, pa, po, dg))
+            for b, (pn, pa, po, dg) in zip(val_b, val_arrs)]))
+
+    import time as _time
+    best_val, best_params = float("inf"), params
     for epoch in range(args.epoch_num):
+        t0 = _time.time()
         losses = []
         for b, (pn, pa, po, dg) in zip(train_b, train_arrs):
             params, opt, loss = step(params, opt, b, pn, pa, po, dg)
             losses.append(float(loss))
+        vl = val_loss(params)
+        if vl < best_val:
+            best_val = vl
+            best_params = jax.tree_util.tree_map(jnp.copy, params)
         if epoch % 10 == 0 or epoch == args.epoch_num - 1:
-            print(f"epoch {epoch:4d} train {np.mean(losses):.5f}")
+            print(f"epoch {epoch:4d} train {np.mean(losses):.5f} "
+                  f"val {vl:.5f} {_time.time() - t0:.1f}s", flush=True)
+    params = best_params
+    print(f"best val {best_val:.5f}")
 
     @jax.jit
     def predict(params, b, pn, pa, po, dg):
         return 2.0 ** apply_lrp_batch(params, cfg, b, pn, pa, po, dg) - 1.0
 
-    preds, truths = [], []
-    for b, (pn, pa, po, dg) in zip(test_b, test_arrs):
-        out = np.asarray(predict(params, b, pn, pa, po, dg))
-        valid = np.asarray(b.graph_mask) > 0
-        preds.append(out[valid])
-        truths.append(np.asarray(b.y)[valid])
-    preds = np.concatenate(preds)
-    truths = np.concatenate(truths)
     groups = groupby_size(qids)
-    print("LRP graphlet_norm_mse:",
-          norm_mse(round_relu(preds), truths, groups))
-    print("LRP graphlet_mae:", mae(round_relu(preds), truths, groups))
+    for name, test_b in test_sets:
+        test_arrs, _ = prep(test_b)
+        preds, truths = [], []
+        for b, (pn, pa, po, dg) in zip(test_b, test_arrs):
+            out = np.asarray(predict(params, b, pn, pa, po, dg))
+            valid = np.asarray(b.graph_mask) > 0
+            preds.append(out[valid])
+            truths.append(np.asarray(b.y)[valid])
+        preds = np.concatenate(preds)
+        truths = np.concatenate(truths)
+        _report("LRP", name, round_relu(preds), truths, groups)
     return 0
 
 
