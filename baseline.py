@@ -150,7 +150,12 @@ def main(argv=None) -> int:
     def predict(params, b, pos):
         pred = diamnet_forward(params, tower_cfg, dn_cfg, b, pos, seq_len,
                                qb, q_pos, q_seq_len)
-        return 2.0 ** pred - 1.0
+        # log-space clamp before the de-log: no graph here can hold 2^60
+        # occurrences of a size<=5 query (n^5 < 2^49 at n=800), so the
+        # clamp only stops float32 overflow on diverged predictions from
+        # poisoning the whole row with inf (the reference's unclamped
+        # 2^pred has the same fragility, lightning_model.py:278)
+        return 2.0 ** jax.numpy.minimum(pred, 60.0) - 1.0
 
     groups = groupby_size(qids)
     for name, test_b in test_sets:
@@ -254,7 +259,9 @@ def run_lrp(args, qids, train_b, val_b, test_sets) -> int:
 
     @jax.jit
     def predict(params, b, pn, pa, po, dg):
-        return 2.0 ** apply_lrp_batch(params, cfg, b, pn, pa, po, dg) - 1.0
+        # same log-space overflow clamp as the DIAMNet predict
+        return 2.0 ** jnp.minimum(
+            apply_lrp_batch(params, cfg, b, pn, pa, po, dg), 60.0) - 1.0
 
     groups = groupby_size(qids)
     for name, test_b in test_sets:

@@ -170,15 +170,24 @@ def lrp_arrays_for_batch(batch, cfg: LRPConfig,
 
 
 # --------------------------------------------------------------- device
-def init_lrp(key, cfg: LRPConfig):
+def init_lrp(key, cfg: LRPConfig, init: str = "scaled"):
+    """``init='randn'`` reproduces the reference's unit-variance randn
+    contraction weights (gnn_model.py:470-474). That init compounds with
+    the raw-degree factor MLP: on hubby graphs (Syn generators produce
+    degree-50+ hubs) the 4-layer forward reaches ~1e6 at initialization
+    and training cannot recover — the reference only ever ran LRP on
+    small molecular graphs. ``'scaled'`` (default) divides by
+    sqrt(fan_in = S*S*H), the standard variance-preserving choice, which
+    keeps the same architecture trainable at Syn scale (and makes the
+    baseline STRONGER, i.e. the DeSCo comparison more conservative)."""
     ks = jax.random.split(key, 3 + cfg.num_layers)
     h, L = cfg.hid_dim, cfg.lrp_length
+    scale = 1.0 if init == "randn" else 1.0 / np.sqrt(L * h)
     layers = []
     for i in range(cfg.num_layers):
         kw, kd0, kd1 = jax.random.split(ks[3 + i], 3)
         layers.append({
-            # torch randn init (gnn_model.py:470-474)
-            "w": jax.random.normal(kw, (h, h, L)),
+            "w": jax.random.normal(kw, (h, h, L)) * scale,
             "b": jnp.zeros((h,)),
             "deg0": linear_params(kd0, 1, 2 * h),
             "deg1": linear_params(kd1, 2 * h, h),
@@ -189,6 +198,26 @@ def init_lrp(key, cfg: LRPConfig):
         "final": linear_params(ks[2], h, cfg.num_tasks),
         "layers": layers,
     }
+
+
+def _lrp_contract(w, e0, diag, perm_adj, s: int):
+    """out[p, c] = sum_{a,b,h} nf[p,a,b,h] * W[h,c,a*s+b] WITHOUT
+    materializing nf [P, S*S*H] (2.4 GB per layer at Syn_1827 batch
+    shapes). nf splits exactly into a diagonal part (node features) and
+    an off-diagonal part (the constant edge vector times the adjacency
+    pattern), so the contraction is two small einsums:
+
+      diag term:  sum_a diag[p,a,:] . W[:, c, a*(s+1)]
+      edge term:  sum_{a != b} adj[p,a,b] * (e0 . W[:, c, a*s+b])
+
+    with the [S, S, H_out] edge tensor precomputed once per layer."""
+    h_in = diag.shape[-1]
+    wd = w[:, :, ::s + 1]                                # [h, c, s] diag
+    dterm = jnp.einsum("pah,hca->pc", diag, wd[:h_in])
+    we = jnp.einsum("h,hcl->lc", e0, w).reshape(s, s, -1)
+    offmask = (1.0 - jnp.eye(s, dtype=we.dtype))[:, :, None]
+    eterm = jnp.einsum("pab,abc->pc", perm_adj, we * offmask)
+    return dterm + eterm
 
 
 def apply_lrp(params, cfg: LRPConfig, x, perm_nodes, perm_adj, perm_owner,
@@ -212,15 +241,9 @@ def apply_lrp(params, cfg: LRPConfig, x, perm_nodes, perm_adj, perm_owner,
 
     for layer in params["layers"]:
         diag = jnp.take(nfeat, safe_nodes, axis=0) * valid[..., None]
-        # [P, S, S, h]: diagonal slots node feats, off-diagonal e0*adj
-        off = perm_adj[..., None] * e0
-        eye = jnp.eye(s, dtype=nfeat.dtype)[None, :, :, None]
-        nf = eye * diag[:, :, None, :] + (1.0 - jnp.eye(s))[None, :, :,
-                                                            None] * off
-        nf = nf.reshape(nf.shape[0], s * s * h)
-        # out[p, c] = sum_{a,b} nf[p, a, b] * W[b, c, a]
-        w2 = jnp.transpose(layer["w"], (2, 0, 1)).reshape(s * s * h, h)
-        out = jax.nn.relu(nf @ w2 + layer["b"])        # [P, h]
+        out = jax.nn.relu(
+            _lrp_contract(layer["w"], e0, diag, perm_adj, s)
+            + layer["b"])                              # [P, h]
         pooled = jax.ops.segment_sum(out, perm_owner, n_nodes)
         pooled = pooled / jnp.maximum(pcount[:, None], 1.0)
         d0w, d0b = layer["deg0"]
@@ -256,15 +279,11 @@ def apply_lrp_batch(params, cfg: LRPConfig, batch, perm_nodes, perm_adj,
     pvalid = (perm_owner >= 0).astype(nfeat.dtype)
     pcount = jax.ops.segment_sum(pvalid, owner, n_cap)
 
-    eye = jnp.eye(s, dtype=nfeat.dtype)
     for layer in params["layers"]:
         diag = jnp.take(nfeat, safe_nodes, axis=0) * valid[..., None]
-        off = perm_adj[..., None] * e0
-        nf = (eye[None, :, :, None] * diag[:, :, None, :]
-              + (1.0 - eye)[None, :, :, None] * off)
-        nf = nf.reshape(nf.shape[0], s * s * h)
-        w2 = jnp.transpose(layer["w"], (2, 0, 1)).reshape(s * s * h, h)
-        out = jax.nn.relu(nf @ w2 + layer["b"]) * pvalid[:, None]
+        out = jax.nn.relu(
+            _lrp_contract(layer["w"], e0, diag, perm_adj, s)
+            + layer["b"]) * pvalid[:, None]
         pooled = jax.ops.segment_sum(out, owner, n_cap)
         pooled = pooled / jnp.maximum(pcount[:, None], 1.0)
         d0w, d0b = layer["deg0"]
