@@ -182,22 +182,32 @@ def main() -> int:
     # ---- one full jitted TRAIN step (fwd + bwd + adam), same workload.
     # The training loss needs labels; the bench batch carries none, so
     # attach synthetic integer counts (shape/dtype of the real path).
+    # Training is ALWAYS f32 (DESCO_DTYPE=bfloat16 benches the bf16
+    # SERVING tower only — --serve_bf16 semantics), so the train step
+    # uses an f32 config regardless of the forward's dtype.
     import dataclasses
 
     from desco_tpu.train.loop import make_adam, neighborhood_step_fn
 
+    train_cfg = (tgt_cfg if dtype == jnp.float32 else
+                 neighborhood_target_config(
+                     layer_num=8, hidden_dim=64, output_dim=64,
+                     agg_mode=agg_mode))
+    train_params = (params if dtype == jnp.float32 else
+                    jax.device_put(neigh_mod.init_neighborhood_model(
+                        jax.random.PRNGKey(0), train_cfg, qry_cfg)))
     rng_np = np.random.default_rng(0)
     tb = dataclasses.replace(
         batch, y=jnp.asarray(rng_np.integers(0, 50, (batch.g_cap, 29)),
                              jnp.float32))
     tb = jax.device_put(tb)
     tx = make_adam(0.0)
-    step = jax.jit(neighborhood_step_fn(tgt_cfg, qry_cfg, qb, tx),
+    step = jax.jit(neighborhood_step_fn(train_cfg, qry_cfg, qb, tx),
                    donate_argnums=(0, 1))
-    opt_state = tx.init(params)
+    opt_state = tx.init(train_params)
     lr = jnp.float32(1e-4)
     rng = jax.random.PRNGKey(1)
-    p, o, loss = step(params, opt_state, tb, lr, rng)
+    p, o, loss = step(train_params, opt_state, tb, lr, rng)
     _ = float(loss)  # compile + completion
     t0 = time.perf_counter()
     n_train_iters = max(10, n_iters // 4)
