@@ -18,6 +18,7 @@ this environment has no network egress, so files must be present on disk
 
 from __future__ import annotations
 
+import re
 import os
 import random
 from typing import List, Optional, Tuple
@@ -244,6 +245,16 @@ def load_data(
 ) -> List[Graph]:
     """Named dataset loader with the reference's suffix conventions."""
     name = dataset_name
+    # `<name>_max<N>`: size-filtered VIEW keeping graphs with <= N nodes
+    # (applied AFTER splitting, so split membership matches the unfiltered
+    # name). Used where exact truth is infeasible on the largest graphs —
+    # e.g. the big tree-shaped queries 8006/10006/12006, whose occurrence
+    # counts explode combinatorially on 800-node graphs.
+    max_nodes = None
+    m = re.search(r"_max(\d+)", name)
+    if m:
+        max_nodes = int(m.group(1))
+        name = name.replace(m.group(0), "")
     split = None
     for s in ("_train", "_val", "_test"):
         if s in name:
@@ -303,17 +314,19 @@ def load_data(
     if relabel:
         graphs = _relabel_all(graphs, relabel)
 
-    if split is None:
-        return graphs
-    # fixed-seed shuffled split, matching data.py:207-227 exactly
-    idx = list(range(len(graphs)))
-    random.Random(0).shuffle(idx)
-    train_len = int(len(graphs) * train_split)
-    val_len = int(len(graphs) * val_split)
-    if split == "train":
-        sel = idx[:train_len]
-    elif split == "val":
-        sel = idx[train_len:train_len + val_len]
-    else:
-        sel = idx[train_len + val_len:]
-    return [graphs[i] for i in sel]
+    if split is not None:
+        # fixed-seed shuffled split, matching data.py:207-227 exactly
+        idx = list(range(len(graphs)))
+        random.Random(0).shuffle(idx)
+        train_len = int(len(graphs) * train_split)
+        val_len = int(len(graphs) * val_split)
+        if split == "train":
+            sel = idx[:train_len]
+        elif split == "val":
+            sel = idx[train_len:train_len + val_len]
+        else:
+            sel = idx[train_len + val_len:]
+        graphs = [graphs[i] for i in sel]
+    if max_nodes is not None:
+        graphs = [g for g in graphs if g.n_nodes <= max_nodes]
+    return graphs

@@ -166,3 +166,18 @@ def test_tu_proxy_statistics(tmp_path):
     assert len(got) == 188 and len(cached) == 188
     assert all(a.n_nodes == b.n_nodes and len(a.edges) == len(b.edges)
                for a, b in zip(got, cached))
+
+
+def test_max_nodes_suffix_filters_after_split():
+    """`<name>_max<N>` keeps graphs with <= N nodes, applied AFTER the
+    split so membership matches the unfiltered name."""
+    from desco_tpu.data.datasets import load_data
+
+    full = load_data("Syn_64_test", "data")
+    cap = sorted(g.n_nodes for g in full)[len(full) // 2]
+    filt = load_data(f"Syn_64_test_max{cap}", "data")
+    assert all(g.n_nodes <= cap for g in filt)
+    want = [g for g in full if g.n_nodes <= cap]
+    assert len(filt) == len(want)
+    assert all(a.n_nodes == b.n_nodes and a.n_edges == b.n_edges
+               for a, b in zip(filt, want))
