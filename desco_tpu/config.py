@@ -48,6 +48,11 @@ def build_parser() -> argparse.ArgumentParser:
                    default=False,
                    help="bfloat16 target tower at serving time (training "
                         "stays f32; <~1%% count error)")
+    n.add_argument("--neigh_degree_feature",
+                   action=argparse.BooleanOptionalAction, default=False,
+                   help="log2(1+degree) node input feature for both "
+                        "towers (dense-ego experiment; default zeros, "
+                        "the reference semantics)")
 
     g = p.add_argument_group("gossip counting model arguments")
     g.add_argument("--gossip_conv_type", type=str, default="GOSSIP")
@@ -126,6 +131,7 @@ def to_pipeline_config(args: argparse.Namespace) -> PipelineConfig:
         neigh_weight_decay=args.neigh_weight_decay,
         agg_mode=args.agg_mode,
         serve_bf16=args.serve_bf16,
+        degree_feature=args.neigh_degree_feature,
         gossip_layer_num=args.gossip_layer_num,
         gossip_hidden_dim=args.gossip_hidden_dim,
         gossip_dropout=args.gossip_dropout,

@@ -74,6 +74,13 @@ class PipelineConfig:
     # the MXU regardless) — halves elementwise-fusion HBM traffic for
     # <~1% count error (tests/test_models.py::test_bf16_tower_parity)
     serve_bf16: bool = False
+    # log2(1+degree) as the node input feature for BOTH towers (targets
+    # and queries) instead of the reference's zeros — the dense-ego
+    # experiment (VERDICT r3 item 8): hub-dominated wedge counts are a
+    # pure degree statistic the zero-featured SHMP must infer from
+    # message multiplicity alone. Persisted in checkpoints; serving
+    # applies it automatically on rehydration.
+    degree_feature: bool = False
     # clamp de-logged stage-1 counts to the exact combinatorial
     # neighborhood bound (truth/bounds.py) — kills the rare 2^pred
     # de-log outliers without touching training semantics
@@ -167,10 +174,21 @@ def model_configs(cfg: PipelineConfig):
     return tgt, qry
 
 
+def apply_degree_feature(samples) -> None:
+    """x[:, 0] = log2(1 + degree) in place (cfg.degree_feature). The
+    degree is WITHIN the sample's graph (neighborhood-local for targets),
+    counted on the directed edge stream (both directions present)."""
+    for s in samples:
+        deg = np.bincount(s.edge_src, minlength=len(s.node_type))
+        s.x = np.log2(1.0 + deg).astype(np.float32)[:, None]
+
+
 def build_query_batch(cfg: PipelineConfig) -> PackedGraphs:
     queries = pipeline_queries(cfg)
     qs = [query_sample(q, use_tconv=cfg.use_tconv,
                        f_dim=cfg.neigh_input_dim) for q in queries]
+    if cfg.degree_feature:
+        apply_degree_feature(qs)
     batches = pack_samples(qs, *auto_capacities(qs, g_cap=len(qs)))
     assert len(batches) == 1, "query set must pack into one batch"
     return batches[0]
@@ -214,6 +232,8 @@ def prepare_stage_data(
         use_hetero=cfg.use_hetero, truth=truth,
         use_node_feat=cfg.use_node_feature, use_cache=need_truth,
         order=cfg.order)
+    if cfg.degree_feature:
+        apply_degree_feature(samples)
     if callable(capacities):  # serving bucket selection sees the samples
         capacities = capacities(samples)
     caps = capacities or auto_capacities(samples, g_cap=cfg.neigh_batch_size)

@@ -132,3 +132,42 @@ def test_cli_extended_query_end_to_end(roots):
     assert len(header.split(",")) == 4  # index + one column per query
     res = open(os.path.join(out, "analyze_results_syn_12.txt")).read()
     assert "norm_mse_gossip" in res
+
+
+def test_degree_feature_end_to_end(roots):
+    """--neigh_degree_feature trains with log2(1+deg) inputs end to end,
+    persists the flag in the checkpoint config blob, and checkpoint eval
+    with the same flag works. (main.py builds its config from ARGS —
+    the eval run must repeat the flag; CountingService rehydrates it
+    from the blob automatically.)"""
+    import json
+
+    from desco_tpu.batch.build import query_sample
+    from desco_tpu.graph.atlas import gen_queries
+    from desco_tpu.pipeline import apply_degree_feature
+
+    # unit: the feature really lands in x as log2(1+deg)
+    [q] = gen_queries([7])  # triangle (atlas id 7; id 6 is the path)
+    s = query_sample(q)
+    apply_degree_feature([s])
+    np.testing.assert_allclose(s.x[:, 0], np.log2(3.0), rtol=1e-6)
+
+    ck = os.path.join(roots["ckpt"], "neigh_degf")
+    rc = cli_main(_common(roots, "train_degf") + [
+        "--train_neigh", "--train_gossip", "--test_gossip",
+        "--neigh_epoch_num", "2", "--gossip_epoch_num", "1",
+        "--neigh_degree_feature",
+        "--neigh_model_path", ck,
+        "--gossip_model_path", os.path.join(roots["ckpt"], "gossip_degf"),
+    ])
+    assert rc == 0
+    with open(ck + ".best.json") as f:
+        meta = json.load(f)
+    assert meta["config"]["degree_feature"] is True
+    rc = cli_main(_common(roots, "eval_degf") + [
+        "--test_gossip", "--neigh_degree_feature",
+        "--neigh_checkpoint", ck + ".best",
+        "--gossip_checkpoint",
+        os.path.join(roots["ckpt"], "gossip_degf") + ".best",
+    ])
+    assert rc == 0
