@@ -44,7 +44,19 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
     args.valid_dataset = args.valid_dataset or args.train_dataset
 
+    import os
+
     import jax
+
+    # honor JAX_PLATFORMS=cpu: the container registers the TPU plugin at
+    # interpreter start, so the env var alone is silently ignored (same
+    # guard as __graft_entry__.dryrun_multichip)
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+
     import optax
 
     from desco_tpu.analysis import round_relu
