@@ -341,10 +341,19 @@ def apply_diamnet(params, cfg: DIAMNetConfig,
 
     plf = p_len.astype(jnp.float32)[:, None]
     glf = g_len.astype(jnp.float32)[:, None]
+    # 1/len features (DIAMNet.py:188-192) with a safe denominator:
+    # PADDING graphs in a packed batch have length 0, and an inf here
+    # poisons the whole batch loss through 0 * inf = NaN (pad rows are
+    # masked in the loss, but NaN ignores the mask)
     feats = jnp.concatenate(
-        [mem.reshape(b, -1), plf, glf, 1.0 / plf, 1.0 / glf], axis=-1)
+        [mem.reshape(b, -1), plf, glf,
+         1.0 / jnp.maximum(plf, 1.0), 1.0 / jnp.maximum(glf, 1.0)],
+        axis=-1)
     w1, b1 = params["pred1"]
     y = jax.nn.relu(feats @ w1 + b1)
     w2, b2 = params["pred2"]
-    y = jnp.concatenate([y, plf, glf, 1.0 / plf, 1.0 / glf], axis=-1) @ w2 + b2
+    y = jnp.concatenate(
+        [y, plf, glf,
+         1.0 / jnp.maximum(plf, 1.0), 1.0 / jnp.maximum(glf, 1.0)],
+        axis=-1) @ w2 + b2
     return y

@@ -225,3 +225,50 @@ def test_init_mem_lstm_carry_crosses_windows(rng):
             c = sig(f) * c + sig(i) * np.tanh(gg)
             h = sig(o) * np.tanh(c)
         np.testing.assert_allclose(mem[0, w], h, rtol=1e-4, atol=1e-5)
+
+
+def test_padding_graphs_do_not_poison_loss(rng):
+    """A packed batch with PAD graphs (length 0) must produce a finite
+    loss: the 1/len feature columns used inf denominators and 0 * inf
+    = NaN ignored the loss mask (found training on Syn_1827, where the
+    last batch packs 44-56 real graphs of 64)."""
+    import jax
+    import numpy as np
+
+    from desco_tpu.batch.build import gossip_sample, query_sample
+    from desco_tpu.batch.packed import auto_capacities, pack_samples
+    from desco_tpu.graph.atlas import gen_queries, gen_query_ids
+    from desco_tpu.models.baseline_diamnet import (
+        DIAMNetConfig, diamnet_tower_config, diamnet_train_loss,
+        init_diamnet_pipeline, node_positions,
+    )
+    from conftest import random_graph
+
+    qids = gen_query_ids([3])
+    n_q = len(qids)
+    samples = []
+    for _ in range(3):  # 3 real graphs, g_cap 8 -> 5 pad graphs
+        g = random_graph(rng, 10, 0.4)
+        s = gossip_sample(g, np.zeros((g.n_nodes, n_q), np.float32),
+                          np.zeros((g.n_nodes, n_q), np.float32))
+        import dataclasses
+
+        s = dataclasses.replace(
+            s, y=rng.integers(0, 9, (1, n_q)).astype(np.float32),
+            x=np.zeros((g.n_nodes, 1), np.float32))
+        samples.append(s)
+    n_cap, e_cap, _ = auto_capacities(samples, g_cap=8)
+    [b] = pack_samples(samples, n_cap, e_cap, 8, n_queries=n_q)
+    assert int(np.asarray(b.graph_mask).sum()) == 3  # pads present
+
+    qs = [query_sample(q, use_tconv=False) for q in gen_queries(qids)]
+    [qb] = pack_samples(qs, *auto_capacities(qs, g_cap=len(qs)))
+    tower_cfg = diamnet_tower_config(16, 2, "GIN")
+    dn_cfg = DIAMNetConfig(pattern_dim=16, graph_dim=16, hidden_dim=16,
+                           mem_init="mean")
+    params = init_diamnet_pipeline(jax.random.PRNGKey(0), tower_cfg,
+                                   dn_cfg)
+    loss = diamnet_train_loss(
+        params, tower_cfg, dn_cfg, b, np.asarray(node_positions(b)), 12,
+        qb, np.asarray(node_positions(qb)), 3)
+    assert np.isfinite(float(loss)), float(loss)
