@@ -29,6 +29,7 @@ The public op exposes a custom VJP whose backward uses plain XLA ops
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -196,6 +197,97 @@ def lax_ceil_div(a, b: int):
     return (a + (b - 1)) // b
 
 
+def _segsum_kernel_v2(offs_ref, gmin_ref, gmax_ref, seg_vmem, msgs_hbm,
+                      out_ref, acc_ref, mbuf0, mbuf1, sem_m0, sem_m1,
+                      *, seg_tile: int, ce: int, gsz: int, lanes: int):
+    """v2: segment keys live WHOLE in VMEM (232 KB at bench shapes) via
+    a constant-index BlockSpec — the pipeline fetches them once and they
+    stay resident across grid cells, removing one DMA + semaphore pair
+    per chunk. The inner ablation showed the kernel is DMA-machinery
+    bound (71 us DMA-only floor vs 18.6 us bandwidth floor), so halving
+    the transfer count is the targeted lever. Message chunks keep the
+    manual double-buffered DMA (15 MB does not fit VMEM)."""
+    gs = gsz // 128
+    gpc = ce // gsz
+    i = pl.program_id(0)
+    base = i * seg_tile
+    lo = offs_ref[i]
+    hi = offs_ref[i + 1]
+
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    c0 = lo // ce
+    c1 = lax_ceil_div(hi, ce)
+
+    bufs = ((mbuf0, sem_m0), (mbuf1, sem_m1))
+
+    def get_dma(c, mb, sm):
+        return pltpu.make_async_copy(
+            msgs_hbm.at[pl.ds(c * ce, ce), :], mb, sm)
+
+    for p in range(2):
+        @pl.when(c0 + p < c1)
+        def _(p=p):
+            get_dma(c0 + p, *bufs[p]).start()
+
+    rows256 = jax.lax.broadcasted_iota(jnp.int32, (256, 128), 0)
+    rows_full = jax.lax.broadcasted_iota(jnp.int32, (seg_tile, 128), 0)
+
+    def one_hot(rels, rows):
+        cols = [(rows == r[None, :]).astype(jnp.bfloat16) for r in rels]
+        return cols[0] if len(cols) == 1 else jnp.concatenate(cols, 1)
+
+    def lane_pad(r):
+        if lanes == 128:
+            return r
+        return jnp.concatenate(
+            [r, jnp.zeros((r.shape[0], 128 - lanes), jnp.float32)], 1)
+
+    def process(c, mb, sm):
+        get_dma(c, mb, sm).wait()
+        sb = seg_vmem[c]          # [ks, 128] resident keys, no DMA
+        m_all = mb[:]
+        for g in range(gpc):
+            ga = gmin_ref[c * gpc + g]
+            gb = gmax_ref[c * gpc + g]
+            t_a = jnp.clip(ga - base, 0, seg_tile - 1) // 128
+            t_b = jnp.clip(gb - base, 0, seg_tile - 1) // 128
+            m = m_all if gpc == 1 else m_all[g * gsz:(g + 1) * gsz, :]
+
+            @pl.when(t_b <= t_a + 1)
+            def _(g=g, m=m, t_a=t_a):
+                off = jnp.minimum(t_a * 128, seg_tile - 256)
+                shift = base + off
+                p0 = one_hot([sb[g * gs + j, :] - shift
+                              for j in range(gs)], rows256)
+                acc_ref[pl.ds(off, 256)] += lane_pad(jax.lax.dot_general(
+                    p0, m, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+
+            @pl.when(t_b > t_a + 1)
+            def _(g=g, m=m):
+                p = one_hot([sb[g * gs + j, :] - base
+                             for j in range(gs)], rows_full)
+                acc_ref[:] += lane_pad(jax.lax.dot_general(
+                    p, m, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+
+        @pl.when(c + 2 < c1)
+        def _():
+            get_dma(c + 2, mb, sm).start()
+
+    def pair_body(cc, _):
+        c = c0 + 2 * cc
+        process(c, *bufs[0])
+
+        @pl.when(c + 1 < c1)
+        def _():
+            process(c + 1, *bufs[1])
+        return 0
+
+    jax.lax.fori_loop(0, lax_ceil_div(c1 - c0, 2), pair_body, 0)
+    out_ref[:] = acc_ref[:, :lanes]
+
+
 def pallas_sorted_segment_sum(
     msgs: jnp.ndarray,   # [E, K] edge messages, (dst,type)-sorted order
     seg: jnp.ndarray,    # [E] i32 sorted segment ids; ids >= n_segments
@@ -251,6 +343,36 @@ def pallas_sorted_segment_sum(
     else:
         msgs2 = jnp.zeros((e_pad, lanes), jnp.bfloat16).at[:e, :k].set(
             msgs.astype(jnp.bfloat16))
+
+    if os.environ.get("DESCO_SEG_V2", "0") == "1":
+        # v2: keys whole-array VMEM-resident (constant block index ->
+        # fetched once, cached across grid cells); removes one DMA +
+        # semaphore pair per chunk. See _segsum_kernel_v2.
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((e_pad // ce, ks, 128),
+                             lambda i, *_: (0, 0, 0)),  # seg (VMEM)
+                pl.BlockSpec(memory_space=pl.ANY),      # msgs (HBM)
+            ],
+            out_specs=pl.BlockSpec((seg_tile, lanes),
+                                   lambda i, *_: (i, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((seg_tile, 128), jnp.float32),   # acc
+                pltpu.VMEM((ce, lanes), jnp.bfloat16),      # msg chunk 0
+                pltpu.VMEM((ce, lanes), jnp.bfloat16),      # msg chunk 1
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ],
+        )
+        out = pl.pallas_call(
+            functools.partial(_segsum_kernel_v2, seg_tile=seg_tile,
+                              ce=ce, gsz=gsz, lanes=lanes),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((n_pad, lanes), jnp.float32),
+        )(offs, gmin, gmax, seg2, msgs2)
+        return out[:n_segments, :k]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
