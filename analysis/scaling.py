@@ -99,6 +99,8 @@ def main() -> int:
     p.add_argument("--platform", type=str, default="cpu",
                    help="cpu simulates an 8-device mesh; set to 'tpu' on "
                         "real multi-chip hardware")
+    p.add_argument("--json", type=str, default=None,
+                   help="write the per-D results as a JSON artifact")
     args = p.parse_args()
 
     if args.platform == "cpu":
@@ -167,6 +169,7 @@ def main() -> int:
         return sorted(reps3)[1]
 
     results = {}
+    rows = []
     for d in args.devices:
         if d > len(jax.devices()):
             continue
@@ -197,6 +200,20 @@ def main() -> int:
               f"edge-layers/s  strong {strong * 100:5.1f}%  "
               f"comm {comm * 100:5.1f}%  (ctrl {dt_ctrl * 1e3:.2f} ms, "
               f"pull/pair {part.h_max}, push/pair {part.p_max})")
+        rows.append(dict(d=d, ms_fwd=dt * 1e3, edge_layers_per_s=eps,
+                         strong=strong, comm=comm,
+                         ctrl_ms=dt_ctrl * 1e3, pull_pair=int(part.h_max),
+                         push_pair=int(part.p_max)))
+    if args.json:
+        import json
+
+        with open(args.json, "w") as f:
+            json.dump(dict(
+                graph=args.graph, nodes=args.nodes, degree=args.degree,
+                locality=args.locality, hidden=args.hidden,
+                layers=args.layers, platform=args.platform,
+                results=rows), f, indent=1)
+        print(f"wrote {args.json}")
     return 0
 
 
