@@ -60,6 +60,16 @@ class _phase:
 
 
 def main(argv=None) -> int:
+    # honor JAX_PLATFORMS=cpu even when a TPU plugin was registered at
+    # interpreter start (this container's sitecustomize does; the env
+    # var alone is silently ignored then)
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
     args = build_parser().parse_args(argv)
     cfg = to_pipeline_config(args)
 
