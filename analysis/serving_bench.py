@@ -43,10 +43,14 @@ def main() -> int:
                     choices=["raw", "service", "stream", "latency"])
     ap.add_argument("--requests", type=int, default=8,
                     help="stream mode: number of --graphs-sized requests")
-    ap.add_argument("--neigh_ckpt", default=None)
+    ap.add_argument("--neigh_ckpt", default=None, nargs="+",
+                    help="one path, or several for a serving ensemble")
     ap.add_argument("--gossip_ckpt", default=None)
     ap.add_argument("--n_devices", type=int, default=1,
                     help="service modes: DP-serve over this many devices")
+    ap.add_argument("--exact_size", type=int, default=0,
+                    help="recount queries with <= N nodes exactly "
+                         "(serving knob; measures its cost)")
     args = ap.parse_args()
 
     import jax
@@ -156,6 +160,8 @@ def service_modes(args, graphs, n_nodes: int) -> int:
         data_root=tempfile.mkdtemp(prefix="serve_bench_"),
         clamp_counts=True, verify_budget=args.verify)
     np_path, gp_path = args.neigh_ckpt, args.gossip_ckpt
+    if isinstance(np_path, list) and len(np_path) == 1:
+        np_path = np_path[0]
     if np_path is None:
         tgt, qry = model_configs(cfg)
         params = neigh_mod.init_neighborhood_model(
@@ -173,6 +179,7 @@ def service_modes(args, graphs, n_nodes: int) -> int:
     svc = CountingService(
         np_path, gp_path, n_devices=args.n_devices,
         config_overrides={"verify_budget": args.verify,
+                          "exact_size": args.exact_size,
                           "data_root": cfg.data_root})
 
     # warm-up: compile + pin capacities on a representative request
