@@ -207,10 +207,18 @@ def _project_and_plot(X, labels, args, tag):
     if args.projection == "tsne":
         from sklearn.manifold import TSNE
 
-        # reference: perplexity 40, 300 iters (line 290)
-        proj = TSNE(n_components=2, perplexity=min(40, len(X) // 4),
-                    max_iter=300, init="pca",
-                    random_state=0).fit_transform(X)
+        # reference: perplexity 40, 300 iters (line 290); clamp to
+        # [2, n-1) so tiny --sample values don't crash sklearn
+        perp = max(2, min(40, (len(X) - 1) // 4))
+        if len(X) <= perp + 1:
+            from sklearn.decomposition import PCA
+
+            proj = PCA(n_components=2,
+                       random_state=0).fit_transform(X)
+        else:
+            proj = TSNE(n_components=2, perplexity=perp,
+                        max_iter=300, init="pca",
+                        random_state=0).fit_transform(X)
     else:
         from sklearn.decomposition import PCA
 
@@ -248,7 +256,8 @@ def _trained_embeddings(args, neighs_by_ds):
     from desco_tpu.batch.build import neighborhood_sample
     from desco_tpu.batch.packed import auto_capacities, pack_samples
     from desco_tpu.models import neighborhood as neigh_mod
-    from desco_tpu.pipeline import PipelineConfig, model_configs
+    from desco_tpu.pipeline import (
+        PipelineConfig, apply_degree_feature, model_configs)
     from desco_tpu.train.checkpoint import load_checkpoint
 
     # rehydrate the model config from the checkpoint's JSON blob
@@ -261,7 +270,8 @@ def _trained_embeddings(args, neighs_by_ds):
            if k in fields}
     if "query_sizes" in raw:
         raw["query_sizes"] = tuple(raw["query_sizes"])
-    tgt_cfg, qry_cfg = model_configs(PipelineConfig(**raw))
+    cfg = PipelineConfig(**raw)
+    tgt_cfg, qry_cfg = model_configs(cfg)
     template = neigh_mod.init_neighborhood_model(
         jax.random.PRNGKey(0), tgt_cfg, qry_cfg)
     params, _, _ = load_checkpoint(args.checkpoint, template)
@@ -269,7 +279,14 @@ def _trained_embeddings(args, neighs_by_ds):
     fn = None
     out, labels = [], []
     for name, neighs in neighs_by_ds.items():
-        samples = [neighborhood_sample(nb) for nb in neighs]
+        # mirror prepare_stage_data: the checkpoint's tconv/order/f_dim/
+        # degree-feature settings decide the edge typing and features —
+        # defaults here would silently mis-embed non-default checkpoints
+        samples = [neighborhood_sample(nb, use_tconv=cfg.use_tconv,
+                                       f_dim=cfg.neigh_input_dim,
+                                       order=cfg.order) for nb in neighs]
+        if cfg.degree_feature:
+            apply_degree_feature(samples)
         caps = auto_capacities(samples, g_cap=256)
         batches = pack_samples(samples, *caps)
         if fn is None:

@@ -112,6 +112,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def to_pipeline_config(args: argparse.Namespace) -> PipelineConfig:
+    if args.neigh_degree_feature and args.use_node_feature:
+        raise SystemExit(
+            "--neigh_degree_feature and --use_node_feature are mutually "
+            "exclusive: the degree write would clobber column 0 of the "
+            "one-hot label features")
     return PipelineConfig(
         query_sizes=tuple(args.query_sizes),
         custom_query_ids=(tuple(args.query_ids)

@@ -344,7 +344,15 @@ def pallas_sorted_segment_sum(
         msgs2 = jnp.zeros((e_pad, lanes), jnp.bfloat16).at[:e, :k].set(
             msgs.astype(jnp.bfloat16))
 
-    if os.environ.get("DESCO_SEG_V2", "0") == "1":
+    # v2 pins the whole key array in VMEM — guard the total VMEM
+    # footprint (keys + acc + msg double-buffer) and fall back to the
+    # chunked v1 path for edge streams that would not fit (~16 MiB
+    # VMEM/core; leave headroom for the compiler's own buffers)
+    use_v2 = os.environ.get("DESCO_SEG_V2", "0") == "1"
+    v2_vmem = (4 * e_pad + seg_tile * 128 * 4 + 2 * ce * lanes * 2)
+    if use_v2 and v2_vmem > 10 * 2 ** 20:
+        use_v2 = False
+    if use_v2:
         # v2: keys whole-array VMEM-resident (constant block index ->
         # fetched once, cached across grid cells); removes one DMA +
         # semaphore pair per chunk. See _segsum_kernel_v2.

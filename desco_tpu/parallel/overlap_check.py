@@ -81,7 +81,30 @@ class OverlapReport:
                 f"violations={self.violations or 'none'}")
 
 
-def _walk(jaxpr, taint: Dict, rep: OverlapReport, passes: int = 1):
+def _carry_pairs(eqn, sub):
+    """(carry_invar, carry_outvar) pairs of a loop body sub-jaxpr, so
+    taints can be fed back around the loop. scan bodies carry
+    invars[num_consts:num_consts+num_carry] -> outvars[:num_carry];
+    while bodies carry invars[body_nconsts:] -> all outvars. The cond
+    jaxpr of a while (and any non-loop sub-jaxpr) carries nothing."""
+    name = eqn.primitive.name
+    if name == "scan":
+        nc = eqn.params.get("num_consts", 0)
+        nk = eqn.params.get("num_carry", 0)
+        ivs = sub.invars[nc:nc + nk]
+        ovs = sub.outvars[:nk]
+        if len(ivs) == len(ovs):
+            return list(zip(ivs, ovs))
+    elif name == "while":
+        nc = eqn.params.get("body_nconsts", 0)
+        ivs = sub.invars[nc:]
+        ovs = sub.outvars
+        if len(ivs) == len(ovs):  # the body jaxpr (cond won't match)
+            return list(zip(ivs, ovs))
+    return []
+
+
+def _walk(jaxpr, taint: Dict, rep: OverlapReport):
     """Propagate taints through jaxpr.eqns. ``taint`` maps var -> frozenset
     of tags and is MUTATED; callers seed it with invar taints."""
     from jax._src.core import Literal
@@ -91,69 +114,83 @@ def _walk(jaxpr, taint: Dict, rep: OverlapReport, passes: int = 1):
             return _EMPTY
         return taint.get(v, _EMPTY)
 
-    for _ in range(passes):
-        for eqn in jaxpr.eqns:
-            stack = str(eqn.source_info.name_stack)
-            in_t = _EMPTY
-            for v in eqn.invars:
-                in_t = in_t | get(v)
+    for eqn in jaxpr.eqns:
+        stack = str(eqn.source_info.name_stack)
+        in_t = _EMPTY
+        for v in eqn.invars:
+            in_t = in_t | get(v)
 
-            # stream checks — the heart of the assertion
-            for m in _INT_RE.finditer(stack):
+        # stream checks — the heart of the assertion
+        for m in _INT_RE.finditer(stack):
+            k = int(m.group(1))
+            rep.interior_layers.add(k)
+            if ("pull", k) in in_t:
+                v = (f"interior_L{k} depends on pull_L{k}",
+                     eqn.primitive.name)
+                if v not in rep.violations:  # fixpoint re-walks repeat
+                    rep.violations.append(v)
+        for m in _BND_RE.finditer(stack):
+            k = int(m.group(1))
+            rep.boundary_layers.add(k)
+            if ("push", k) in in_t:
+                v = (f"boundary_L{k} depends on push_L{k}",
+                     eqn.primitive.name)
+                if v not in rep.violations:
+                    rep.violations.append(v)
+
+        out_t = in_t
+        if eqn.primitive.name == "all_to_all":
+            m = _PULL_RE.search(stack)
+            if m:
                 k = int(m.group(1))
-                rep.interior_layers.add(k)
-                if ("pull", k) in in_t:
-                    rep.violations.append(
-                        (f"interior_L{k} depends on pull_L{k}",
-                         eqn.primitive.name))
-            for m in _BND_RE.finditer(stack):
+                rep.pull_layers.add(k)
+                out_t = out_t | {("pull", k)}
+            m = _PUSH_RE.search(stack)
+            if m:
                 k = int(m.group(1))
-                rep.boundary_layers.add(k)
-                if ("push", k) in in_t:
-                    rep.violations.append(
-                        (f"boundary_L{k} depends on push_L{k}",
-                         eqn.primitive.name))
+                rep.push_layers.add(k)
+                out_t = out_t | {("push", k)}
 
-            out_t = in_t
-            if eqn.primitive.name == "all_to_all":
-                m = _PULL_RE.search(stack)
-                if m:
-                    k = int(m.group(1))
-                    rep.pull_layers.add(k)
-                    out_t = out_t | {("pull", k)}
-                m = _PUSH_RE.search(stack)
-                if m:
-                    k = int(m.group(1))
-                    rep.push_layers.add(k)
-                    out_t = out_t | {("push", k)}
+        subs = _sub_jaxprs(eqn)
+        if subs:
+            # map outer taints onto sub-jaxpr invars when the arity
+            # matches (pjit/shard_map/custom_vjp/closed_call); else
+            # seed every invar conservatively with the union.
+            # Loop-carrying primitives (scan/while) additionally
+            # feed body carry-outvar taints back onto the matching
+            # carry invars and re-walk to fixpoint, so a dependence
+            # routed through a loop carry is visible on iteration-1
+            # readers (ADVICE r4: the old fixed two-pass walk never
+            # mapped outvars back to invars at all).
+            agg_out = _EMPTY
+            for sub in subs:
+                sub_taint = {}
+                if len(sub.invars) == len(eqn.invars):
+                    for sv, ov in zip(sub.invars, eqn.invars):
+                        sub_taint[sv] = get(ov)
+                else:
+                    for sv in sub.invars:
+                        sub_taint[sv] = in_t
+                carries = _carry_pairs(eqn, sub)
+                for _ in range(16):  # bounded taint fixpoint
+                    _walk(sub, sub_taint, rep)
+                    changed = False
+                    for iv, ov in carries:
+                        t_out = sub_taint.get(ov, _EMPTY)
+                        t_in = sub_taint.get(iv, _EMPTY)
+                        if not t_out <= t_in:
+                            sub_taint[iv] = t_in | t_out
+                            changed = True
+                    if not changed:
+                        break
+                for sv in sub.outvars:
+                    if isinstance(sv, Literal):
+                        continue
+                    agg_out = agg_out | sub_taint.get(sv, _EMPTY)
+            out_t = out_t | agg_out
 
-            subs = _sub_jaxprs(eqn)
-            if subs:
-                # map outer taints onto sub-jaxpr invars when the arity
-                # matches (pjit/shard_map/custom_vjp/closed_call); else
-                # seed every invar conservatively with the union.
-                # Loop-carrying primitives (scan/while) get two passes so
-                # carry-propagated taints reach first-iteration readers.
-                sub_passes = 2 if eqn.primitive.name in (
-                    "scan", "while") else 1
-                agg_out = _EMPTY
-                for sub in subs:
-                    sub_taint = {}
-                    if len(sub.invars) == len(eqn.invars):
-                        for sv, ov in zip(sub.invars, eqn.invars):
-                            sub_taint[sv] = get(ov)
-                    else:
-                        for sv in sub.invars:
-                            sub_taint[sv] = in_t
-                    _walk(sub, sub_taint, rep, passes=sub_passes)
-                    for sv in sub.outvars:
-                        if isinstance(sv, Literal):
-                            continue
-                        agg_out = agg_out | sub_taint.get(sv, _EMPTY)
-                out_t = out_t | agg_out
-
-            for v in eqn.outvars:
-                taint[v] = taint.get(v, _EMPTY) | out_t
+        for v in eqn.outvars:
+            taint[v] = taint.get(v, _EMPTY) | out_t
 
 
 def check_halo_overlap(fn, *args) -> OverlapReport:

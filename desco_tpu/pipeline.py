@@ -177,10 +177,17 @@ def model_configs(cfg: PipelineConfig):
 def apply_degree_feature(samples) -> None:
     """x[:, 0] = log2(1 + degree) in place (cfg.degree_feature). The
     degree is WITHIN the sample's graph (neighborhood-local for targets),
-    counted on the directed edge stream (both directions present)."""
+    counted on the directed edge stream (both directions present).
+    Only column 0 is written so wider feature vectors (labeled mode,
+    neigh_input_dim > 1) keep their remaining columns."""
     for s in samples:
         deg = np.bincount(s.edge_src, minlength=len(s.node_type))
-        s.x = np.log2(1.0 + deg).astype(np.float32)[:, None]
+        degf = np.log2(1.0 + deg).astype(np.float32)
+        if s.x is not None and s.x.ndim == 2 and s.x.shape[1] > 1:
+            s.x = s.x.copy()
+            s.x[:, 0] = degf
+        else:
+            s.x = degf[:, None]
 
 
 def build_query_batch(cfg: PipelineConfig) -> PackedGraphs:
