@@ -32,7 +32,8 @@ def main(argv=None) -> int:
     p.add_argument("--mem_init", type=str, default="mean",
                    choices=["mean", "sum", "max", "attn", "lstm",
                             "circular_mean", "circular_sum",
-                            "circular_max"],
+                            "circular_max", "circular_attn",
+                            "circular_lstm"],
                    help="DIAMNet memory init variant (DIAMNet.py:801-921)")
     p.add_argument("--layer_num", type=int, default=3)
     p.add_argument("--hidden_dim", type=int, default=64)

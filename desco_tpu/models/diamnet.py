@@ -20,8 +20,10 @@ mechanical:
     ceil((len+1)/2)-1 positions first (DIAMNet.py:846-861), expressed
     as a per-sample window-COUNT matrix over original indices (a
     wrap-spanning window counts an index twice, like the torch pooling
-    over the padded copy). circular_attn/circular_lstm stay
-    unimplemented — no reference config reaches any circular variant.
+    over the padded copy); circular_attn/circular_lstm run the same
+    attn/lstm window loops over an explicitly materialized circular
+    extension (gather by e % len) — all ten reference variants
+    (DIAMNet.py:802-813) are implemented.
 
 Semantics kept: gated pre-LN multi-head attention
 (out = g*q + (1-g)*attn, gate bias init 1 so fresh models pass the query
@@ -46,7 +48,7 @@ class DIAMNetConfig:
     num_heads: int = 4
     mem_len: int = 4
     recurrent_steps: int = 1
-    # mean | sum | max | attn | lstm | circular_{mean,sum,max}
+    # mean | sum | max | attn | lstm | circular_{mean,sum,max,attn,lstm}
     mem_init: str = "mean"
 
 
@@ -79,13 +81,13 @@ def init_diamnet(key, cfg: DIAMNetConfig):
         "pred1": (n(ks[3], (cfg.mem_len * h + 4, h)), jnp.zeros(h)),
         "pred2": (jnp.zeros((h + 4, 1)), jnp.zeros(1)),
     }
-    if cfg.mem_init == "attn":
-        # window self-attention for the memory init (init_mem 'attn',
-        # DIAMNet.py:877-897); queries live in hidden space, keys/values
-        # are raw graph features
+    if cfg.mem_init.endswith("attn"):
+        # window self-attention for the memory init (init_mem 'attn' /
+        # 'circular_attn', DIAMNet.py:874-897); queries live in hidden
+        # space, keys/values are raw graph features
         params["mem_attn"] = _attn_params(
             ks[6], h, cfg.graph_dim, cfg.graph_dim, h)
-    elif cfg.mem_init == "lstm":
+    elif cfg.mem_init.endswith("lstm"):
         # single-layer LSTM over window elements (init_mem 'lstm',
         # DIAMNet.py:898-906)
         params["mem_lstm"] = {
@@ -209,9 +211,8 @@ def init_mem_circular(g, g_len, mem_len: int, kind: str = "mean"):
     twice, exactly like the torch pooling over the padded copy).
     len == mem_len bypasses the circular pad entirely (the torch
     seq_len == mem_len branch); len < mem_len takes the short fallback.
-    circular_attn / circular_lstm remain unimplemented, like the plain
-    reference config space they belong to (no caller uses any circular
-    variant upstream)."""
+    circular_attn / circular_lstm live in init_mem_attn/init_mem_lstm
+    (circular=True) over the materialized extension."""
     b, L, _ = g.shape
     m = mem_len
     lens = g_len.astype(jnp.int32)
@@ -249,35 +250,86 @@ def init_mem_circular(g, g_len, mem_len: int, kind: str = "mean"):
     return mem, _mem_mask(lens, m, g.dtype)
 
 
-def init_mem_attn(params, cfg, g, g_len):
-    """init_mem 'attn' (DIAMNet.py:877-897): one gated-MHA step per
-    strided window, the query carrying across windows (h starts at
-    1/sqrt(h)); each step's output is one memory slot. Output lives in
-    hidden space (no g_layer projection afterwards)."""
+def _circular_extend(g, g_len):
+    """Materialize the circularly padded sequence of init_mem's
+    circular variants (DIAMNet.py:846-856) with static shapes:
+    ext_g[b, e] = g[b, e % len] for e < len + pad (pad =
+    ceil((len+1)/2) - 1), zero beyond. Returns (ext_g [B, Le, D],
+    in_win [B, M_CAP-free window mask builder inputs]): callers derive
+    windows from the EXTENDED length."""
+    b, L, _ = g.shape
+    lens = g_len.astype(jnp.int32)
+    pad = jnp.ceil((lens + 1) / 2).astype(jnp.int32) - 1
+    ext = lens + pad
+    L_ext = L + (L + 1) // 2
+    e2 = jnp.arange(L_ext)[None, :]
+    orig = e2 % jnp.maximum(lens[:, None], 1)
+    ext_g = jnp.take_along_axis(
+        g, jnp.minimum(orig, L - 1)[:, :, None], axis=1)
+    ext_g = jnp.where((e2 < ext[:, None])[:, :, None], ext_g, 0.0)
+    return ext_g, ext
+
+
+def _windows_from_len(lens, L: int, m: int):
+    """[B, M, L] strided-window membership for given (possibly
+    extended) lengths — the stride/kernel rule of DIAMNet.py:857-858."""
+    stride = lens // m
+    kernel = lens - (m - 1) * stride
+    w_idx = jnp.arange(m)[None, :, None]
+    l_idx = jnp.arange(L)[None, None, :]
+    lo = w_idx * stride[:, None, None]
+    hi = lo + kernel[:, None, None]
+    return (l_idx >= lo) & (l_idx < hi) & (l_idx < lens[:, None, None])
+
+
+def init_mem_attn(params, cfg, g, g_len, circular: bool = False):
+    """init_mem 'attn' / 'circular_attn' (DIAMNet.py:874-897): one
+    gated-MHA step per strided window, the query carrying across
+    windows (h starts at 1/sqrt(h)); each step's output is one memory
+    slot. Output lives in hidden space (no g_layer projection
+    afterwards). circular_attn (DIAMNet.py:846-856) first extends the
+    sequence circularly by ceil((len+1)/2)-1 positions and windows the
+    extended stream."""
     m = cfg.mem_len
     h_dim = cfg.hidden_dim
-    in_win, _, lens = _mem_windows(g_len, g.shape[1], m)
+    lens = g_len.astype(jnp.int32)
+    if circular:
+        keys, ext = _circular_extend(g, g_len)
+        in_win = _windows_from_len(ext, keys.shape[1], m)
+    else:
+        keys = g
+        in_win, _, _ = _mem_windows(g_len, g.shape[1], m)
     h = jnp.full((g.shape[0], 1, h_dim), 1.0 / jnp.sqrt(h_dim), g.dtype)
     slots = []
     for w in range(m):
-        h = gated_mha(params["mem_attn"], h, g, g,
+        h = gated_mha(params["mem_attn"], h, keys, keys,
                       in_win[:, w, :].astype(g.dtype), cfg.num_heads)
         slots.append(h)
     mem_long = jnp.concatenate(slots, axis=1)            # [B, M, H]
     gw, gb = params["g_layer"]
-    use_short = (lens < m)[:, None, None]
+    # len == m bypasses the circular pad (torch seq_len == mem_len
+    # branch returns x before the circular machinery)
+    use_short = ((lens <= m) if circular else (lens < m))[:, None, None]
     mem = jnp.where(use_short, _mem_short(g, lens, m) @ gw + gb, mem_long)
     return mem, _mem_mask(lens, m, g.dtype)
 
 
-def init_mem_lstm(params, cfg, g, g_len):
-    """init_mem 'lstm' (DIAMNet.py:898-906): an LSTM consumes each
-    window's elements; the hidden state after window w is memory slot w
-    and the carry crosses windows (torch loops `_, hx = lstm(m, hx)`)."""
+def init_mem_lstm(params, cfg, g, g_len, circular: bool = False):
+    """init_mem 'lstm' / 'circular_lstm' (DIAMNet.py:898-906): an LSTM
+    consumes each window's elements; the hidden state after window w is
+    memory slot w and the carry crosses windows (torch loops
+    `_, hx = lstm(m, hx)`). circular_lstm scans the circularly extended
+    sequence (DIAMNet.py:846-856)."""
     m = cfg.mem_len
     h_dim = cfg.hidden_dim
     b = g.shape[0]
-    in_win, _, lens = _mem_windows(g_len, g.shape[1], m)
+    lens = g_len.astype(jnp.int32)
+    if circular:
+        g_seq, ext = _circular_extend(g, g_len)
+        in_win = _windows_from_len(ext, g_seq.shape[1], m)
+    else:
+        g_seq = g
+        in_win, _, _ = _mem_windows(g_len, g.shape[1], m)
     p = params["mem_lstm"]
 
     def step(carry, inp):
@@ -292,14 +344,14 @@ def init_mem_lstm(params, cfg, g, g_len):
 
     carry = (jnp.zeros((b, h_dim), g.dtype), jnp.zeros((b, h_dim), g.dtype))
     slots = []
-    xs_feat = jnp.swapaxes(g, 0, 1)                       # [L, B, D]
+    xs_feat = jnp.swapaxes(g_seq, 0, 1)                   # [L(e), B, D]
     for w in range(m):
-        valid = jnp.swapaxes(in_win[:, w, :], 0, 1)       # [L, B]
+        valid = jnp.swapaxes(in_win[:, w, :], 0, 1)       # [L(e), B]
         carry, _ = jax.lax.scan(step, carry, (xs_feat, valid))
         slots.append(carry[0][:, None, :])
     mem_long = jnp.concatenate(slots, axis=1)             # [B, M, H]
     gw, gb = params["g_layer"]
-    use_short = (lens < m)[:, None, None]
+    use_short = ((lens <= m) if circular else (lens < m))[:, None, None]
     mem = jnp.where(use_short, _mem_short(g, lens, m) @ gw + gb, mem_long)
     return mem, _mem_mask(lens, m, g.dtype)
 
@@ -317,10 +369,14 @@ def apply_diamnet(params, cfg: DIAMNetConfig,
     g_mask = (jnp.arange(graph.shape[1])[None, :]
               < g_len[:, None]).astype(graph.dtype)
 
-    if cfg.mem_init == "attn":
-        mem, mem_mask = init_mem_attn(params, cfg, graph, g_len)
-    elif cfg.mem_init == "lstm":
-        mem, mem_mask = init_mem_lstm(params, cfg, graph, g_len)
+    if cfg.mem_init.endswith("attn"):
+        mem, mem_mask = init_mem_attn(
+            params, cfg, graph, g_len,
+            circular=cfg.mem_init.startswith("circular"))
+    elif cfg.mem_init.endswith("lstm"):
+        mem, mem_mask = init_mem_lstm(
+            params, cfg, graph, g_len,
+            circular=cfg.mem_init.startswith("circular"))
     elif cfg.mem_init.startswith("circular_"):
         mem, mem_mask = init_mem_circular(
             graph, g_len, cfg.mem_len, cfg.mem_init.split("_", 1)[1])
