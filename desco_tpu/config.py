@@ -48,6 +48,11 @@ def build_parser() -> argparse.ArgumentParser:
                    default=False,
                    help="bfloat16 target tower at serving time (training "
                         "stays f32; <~1%% count error)")
+    n.add_argument("--neigh_bf16_train",
+                   action=argparse.BooleanOptionalAction, default=False,
+                   help="bfloat16 TARGET tower during training (f32 "
+                        "master params/optimizer/loss; serving stays "
+                        "f32 unless --serve_bf16)")
     n.add_argument("--neigh_degree_feature",
                    action=argparse.BooleanOptionalAction, default=False,
                    help="log2(1+degree) node input feature for both "
@@ -85,6 +90,10 @@ def build_parser() -> argparse.ArgumentParser:
     o.add_argument("--train_neigh", action="store_true")
     o.add_argument("--train_gossip", action="store_true")
     o.add_argument("--test_gossip", action="store_true")
+    o.add_argument("--val_every", type=int, default=1,
+                   help="run the val pass every k epochs (plateau LR "
+                        "and best-ckpt selection see those epochs only; "
+                        "1 = reference parity)")
     o.add_argument("--seed", type=int, default=0)
     o.add_argument("--resume", action="store_true",
                    help="resume training from the .last snapshot")
@@ -136,6 +145,8 @@ def to_pipeline_config(args: argparse.Namespace) -> PipelineConfig:
         neigh_weight_decay=args.neigh_weight_decay,
         agg_mode=args.agg_mode,
         serve_bf16=args.serve_bf16,
+        train_bf16=args.neigh_bf16_train,
+        val_every=args.val_every,
         degree_feature=args.neigh_degree_feature,
         gossip_layer_num=args.gossip_layer_num,
         gossip_hidden_dim=args.gossip_hidden_dim,

@@ -90,6 +90,7 @@ def run_training(
     ckpt_config: Optional[dict] = None,
     log_every: int = 10, log_fn=print, mesh=None,
     resume: bool = False, snapshot_every: int = 10,
+    val_every: int = 1,
 ) -> TrainResult:
     """Generic loop: step_fn(params, opt, batch, lr, rng) ->
     (params, opt, loss); eval_fn(params, batch) -> (loss_sum, weight).
@@ -229,19 +230,27 @@ def run_training(
         # is the real completion barrier on this platform, so t_train
         # covers exactly the train steps; the logged edges/s must not be
         # flattered or diluted by the host val pass below
-        vl = val_loss(params)
+        # val cadence: with val_every=k the full val pass (a measured
+        # ~15% of epoch time at train=valid scale) runs every k epochs;
+        # the plateau scheduler and best-ckpt monitor only see those
+        # epochs (patience counts monitored values, not raw epochs)
+        run_val = (val_dev is None or val_every <= 1
+                   or epoch % val_every == 0 or epoch == epochs - 1)
+        vl = val_loss(params) if run_val else float("nan")
         times.append(time.time() - t0)
         train_losses.append(tl)
         val_losses.append(vl)
-        monitored = vl if np.isfinite(vl) else tl
-        sched.step(monitored)
-        if monitored < best_val:
-            best_val = monitored
-            best_params = jax.tree_util.tree_map(jnp.copy, params)
-            if ckpt_path:
-                save_checkpoint(ckpt_path + ".best", best_params,
-                                config=ckpt_config,
-                                extra={"epoch": epoch, "val_loss": best_val})
+        if run_val:
+            monitored = vl if np.isfinite(vl) else tl
+            sched.step(monitored)
+            if monitored < best_val:
+                best_val = monitored
+                best_params = jax.tree_util.tree_map(jnp.copy, params)
+                if ckpt_path:
+                    save_checkpoint(
+                        ckpt_path + ".best", best_params,
+                        config=ckpt_config,
+                        extra={"epoch": epoch, "val_loss": best_val})
         if log_every and (epoch % log_every == 0 or epoch == epochs - 1):
             log_fn(f"epoch {epoch:4d} train {tl:.5f} val {vl:.5f} "
                    f"lr {sched.lr:.2e} {times[-1]:.2f}s "

@@ -3,6 +3,7 @@ losses decrease, predictions aggregate, metrics compute."""
 
 import dataclasses
 
+import jax
 import numpy as np
 import pytest
 
@@ -333,3 +334,57 @@ def test_exact_small_counts_match_truth(tiny_cfg, tiny_data):
     untouched = np.setdiff1d(np.arange(counts.shape[1]), cols)
     if len(untouched):
         assert (fixed[:, untouched] == 7.5).all()
+
+
+def test_bf16_training_and_val_cadence(tiny_cfg, tiny_data, tmp_path):
+    """cfg.train_bf16 trains the target tower in bf16 (f32 masters) and
+    still learns; cfg.val_every=3 skips val passes on non-multiple
+    epochs (NaN in the trace) while best-checkpoint selection keeps
+    working on the evaluated epochs."""
+    train, val, _ = tiny_data
+    cfg = dataclasses.replace(tiny_cfg, train_bf16=True, val_every=3,
+                              neigh_epochs=7)
+    qb = build_query_batch(cfg)
+    res, tgt_cfg, _ = train_neighborhood_stage(
+        cfg, train, val, qb, log_fn=lambda *_: None,
+        ckpt_path=str(tmp_path / "bf16"))
+    # learned in bf16, f32 master params preserved
+    assert res.train_losses[-1] < res.train_losses[0]
+    import jax.numpy as jnp
+
+    assert tgt_cfg.dtype == jnp.float32  # returned serving cfg is f32
+    leaves = [x for x in jax.tree_util.tree_leaves(res.best_params)]
+    assert all(le.dtype == jnp.float32 for le in leaves)
+    # val cadence: epochs 0,3,6 evaluated; 1,2,4,5 skipped (nan);
+    # last epoch always evaluated
+    evaluated = [i for i, v in enumerate(res.val_losses)
+                 if np.isfinite(v)]
+    assert evaluated == [0, 3, 6]
+    assert np.isfinite(res.best_val)
+    assert (tmp_path / "bf16.best.params.npz").exists()
+
+
+def test_bf16_loss_tracks_f32(tiny_cfg, tiny_data):
+    """The bf16 training loss at identical params tracks f32 within
+    bf16 mantissa error (same property as the serving-tower parity
+    gate, scoped to the TRAINING entry point train_loss)."""
+    import jax.numpy as jnp
+
+    from desco_tpu.models import neighborhood as neigh_mod
+
+    train, _, _ = tiny_data
+    qb = build_query_batch(tiny_cfg)
+    tgt_cfg, qry_cfg = model_configs(tiny_cfg)
+    params = neigh_mod.init_neighborhood_model(
+        jax.random.PRNGKey(0), tgt_cfg, qry_cfg)
+    b = train.batches[0]
+    l32 = float(neigh_mod.train_loss(params, tgt_cfg, qry_cfg, b, qb))
+    cfg_bf = dataclasses.replace(tgt_cfg, dtype=jnp.bfloat16)
+    lbf = float(neigh_mod.train_loss(params, cfg_bf, qry_cfg, b, qb))
+    assert abs(lbf - l32) < 0.05 * max(1.0, abs(l32))
+    # gradients flow and stay f32 (master-weight mixed precision)
+    g = jax.grad(lambda p: neigh_mod.train_loss(p, cfg_bf, qry_cfg,
+                                                b, qb))(params)
+    gl = jax.tree_util.tree_leaves(g)
+    assert all(x.dtype == jnp.float32 for x in gl)
+    assert sum(float(jnp.abs(x).sum()) for x in gl) > 0
