@@ -288,6 +288,21 @@ def _segsum_kernel_v2(offs_ref, gmin_ref, gmax_ref, seg_vmem, msgs_hbm,
     out_ref[:] = acc_ref[:, :lanes]
 
 
+def _out_struct(shape, *operands):
+    """ShapeDtypeStruct for pallas_call outputs that works INSIDE
+    jax.shard_map with check_vma=True (the halo path): the output's
+    varying-across-mesh set is the union of the operands' — without it
+    the tracer rejects the kernel on the first real multi-device
+    lowering (found by scripts/halo_on_chip.py)."""
+    vma = frozenset()
+    for op in operands:
+        vma = vma | getattr(jax.typeof(op), "vma", frozenset())
+    try:
+        return jax.ShapeDtypeStruct(shape, jnp.float32, vma=vma)
+    except TypeError:  # older jax: no vma kwarg
+        return jax.ShapeDtypeStruct(shape, jnp.float32)
+
+
 def pallas_sorted_segment_sum(
     msgs: jnp.ndarray,   # [E, K] edge messages, (dst,type)-sorted order
     seg: jnp.ndarray,    # [E] i32 sorted segment ids; ids >= n_segments
@@ -378,7 +393,8 @@ def pallas_sorted_segment_sum(
             functools.partial(_segsum_kernel_v2, seg_tile=seg_tile,
                               ce=ce, gsz=gsz, lanes=lanes),
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((n_pad, lanes), jnp.float32),
+            out_shape=_out_struct((n_pad, lanes), offs, gmin, gmax,
+                                  seg2, msgs2),
         )(offs, gmin, gmax, seg2, msgs2)
         return out[:n_segments, :k]
 
@@ -406,7 +422,8 @@ def pallas_sorted_segment_sum(
         functools.partial(_segsum_kernel, seg_tile=seg_tile, ce=ce,
                           gsz=gsz, lanes=lanes),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_pad, lanes), jnp.float32),
+        out_shape=_out_struct((n_pad, lanes), offs, gmin, gmax,
+                              seg2, msgs2),
     )(offs, gmin, gmax, seg2, msgs2)
     return out[:n_segments, :k]
 

@@ -201,6 +201,69 @@ def run_sweep(rng, N, T, H, E):
                   flush=True)
 
 
+def run_smoke(rng):
+    """Per-round COMPILED-path smoke (VERDICT r4 weak item 2): the fused
+    kernel AND its custom VJP (the source-keyed Pallas backward) run on
+    real hardware and allclose against the XLA path — interpret-mode CI
+    covers semantics, this covers Mosaic. ~30 s; run each round:
+
+        timeout 600 python scripts/pallas_bringup.py smoke | tee logs/kernel_smoke.log
+    """
+    from desco_tpu.ops.pallas_segment import fused_typed_transform_aggregate
+
+    N, T, H, E = 4096, 6, 64, 32768
+    x, src, keys, w = make_case(rng, N, T, H, E)
+    # source-keyed backward permutation, exactly as pack_samples builds
+    # it (batch/packed.py: lexsort((edge_type, edge_src)); pad slots
+    # carry src = pad node = max id, so they sort last)
+    typ = (keys % T).astype(np.int32)
+    bwd = np.lexsort((typ, src.astype(np.int32))).astype(np.int32)
+    xd, sd, kd, wd = map(jnp.asarray, (x, src, keys, w))
+    bd = jnp.asarray(bwd)
+
+    def loss_pallas(x_, w_):
+        o = fused_typed_transform_aggregate(x_, sd, kd, w_, T, N,
+                                            bwd_perm=bd)
+        return 0.5 * jnp.sum(o * o), o
+
+    def loss_xla(x_, w_):
+        o = xla_ref_jnp(x_, sd, kd, w_, T, N)
+        return 0.5 * jnp.sum(o * o), o
+
+    gp = jax.jit(jax.grad(lambda a, b: loss_pallas(a, b)[0], argnums=(0, 1)))
+    gx = jax.jit(jax.grad(lambda a, b: loss_xla(a, b)[0], argnums=(0, 1)))
+    fp = jax.jit(lambda a, b: loss_pallas(a, b)[1])
+    t0 = time.perf_counter()
+    out = np.asarray(fp(xd, wd))
+    dxp, dwp = [np.asarray(v) for v in gp(xd, wd)]
+    print(f"[smoke] fwd+vjp compile+run {time.perf_counter() - t0:.1f}s",
+          flush=True)
+    ref = np.asarray(jax.jit(lambda a, b: loss_xla(a, b)[1])(xd, wd))
+    dxr, dwr = [np.asarray(v) for v in gx(xd, wd)]
+    checks = (("fwd", out, ref), ("d_x", dxp, dxr), ("d_w", dwp, dwr))
+    for name, a, b in checks:
+        err = np.abs(a - b).max() / max(np.abs(b).max(), 1e-6)
+        print(f"[smoke] {name} rel err {err:.2e}", flush=True)
+        assert err < 5e-3, f"smoke {name}: compiled-kernel mismatch"
+    print(f"[smoke] PASS on {jax.devices()[0].platform}", flush=True)
+
+
+def xla_ref_jnp(x_, sd, kd, w_, T, N):
+    """Differentiable jnp version of xla_ref (same math)."""
+    from desco_tpu.ops.segment import segment_sum
+
+    msgs = jnp.take(x_, sd, axis=0)
+    d = (kd // T).astype(jnp.int32)
+    t = (kd % T).astype(jnp.int32)
+    live = d < N
+    out = jnp.zeros((N, w_.shape[2]), jnp.float32)
+    for ti in range(T):
+        sel = (live & (t == ti))[:, None]
+        agg = segment_sum(msgs * sel, jnp.minimum(d, N - 1), N)
+        out = out + agg @ w_[ti]
+    return out
+
+
 def main():
     stage = sys.argv[1] if len(sys.argv) > 1 else "tiny"
     print("devices:", jax.devices(), flush=True)
@@ -215,6 +278,8 @@ def main():
         run_parts(rng, 43008, 6, 64, 524288)
     if stage == "sweep":
         run_sweep(rng, 43008, 6, 64, 524288)
+    if stage == "smoke":
+        run_smoke(rng)
     print("OK", flush=True)
 
 
