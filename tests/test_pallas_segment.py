@@ -214,3 +214,35 @@ def test_sorted_segment_sum_ad_value_and_grad(rng):
     dm = np.asarray(jax.grad(f)(jnp.asarray(msgs)))
     ref_dm = np.where((seg < N)[:, None], g[np.minimum(seg, N - 1)], 0.0)
     np.testing.assert_allclose(dm, ref_dm, rtol=1e-6, atol=1e-6)
+
+
+def test_out_struct_vma_propagates(rng):
+    """jax 0.9 shard_map(check_vma=True) rejects pallas outputs whose
+    ShapeDtypeStruct lacks the varying-across-mesh set (found by
+    scripts/halo_on_chip.py on the first real-TPU lowering of the halo
+    path). _out_struct must union the operands' vma so the kernel
+    traces inside shard_map; the Mosaic-path execution proof lives in
+    the hardware script (interpret mode has a separate upstream vma bug
+    in its dynamic_slice emulation, so it cannot execute here)."""
+    from functools import partial
+
+    from jax.sharding import PartitionSpec as P
+
+    mesh = jax.sharding.Mesh(np.asarray(jax.devices()[:1]), ("graph",))
+    seen = {}
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=P("graph"),
+             out_specs=P("graph"))
+    def probe(x):
+        s = ps._out_struct((4, 128), x[0])
+        seen["vma"] = getattr(jax.typeof(x[0]), "vma", None)
+        seen["out_vma"] = getattr(s, "vma", None)
+        return x
+
+    with mesh:
+        jax.eval_shape(probe, jnp.zeros((1, 8, 128)))
+    assert seen["vma"] == frozenset({"graph"})
+    assert seen["out_vma"] == frozenset({"graph"})
+    # outside shard_map the vma is empty and the struct still builds
+    s = ps._out_struct((4, 128), jnp.zeros((8, 128)))
+    assert getattr(s, "vma", frozenset()) == frozenset()
