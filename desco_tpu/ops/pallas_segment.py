@@ -439,13 +439,17 @@ def sorted_segment_sum_ad(msgs, seg, n_segments: int):
 
 
 def _ssum_ad_fwd(msgs, seg, n_segments):
-    return pallas_sorted_segment_sum(msgs, seg, n_segments), seg
+    # residuals are arrays only — carry the primal dtype as a 0-size leaf
+    return pallas_sorted_segment_sum(msgs, seg, n_segments), (
+        seg, jnp.zeros((0,), msgs.dtype))
 
 
-def _ssum_ad_bwd(n_segments, seg, g):
+def _ssum_ad_bwd(n_segments, res, g):
+    seg, proto = res
     live = (seg < n_segments) & (seg >= 0)
     d = jnp.take(g, jnp.where(live, seg, 0), axis=0)
-    return d * live[:, None].astype(d.dtype), None
+    # cotangent dtype follows the primal (bf16 halo streams get bf16)
+    return (d * live[:, None].astype(d.dtype)).astype(proto.dtype), None
 
 
 sorted_segment_sum_ad.defvjp(_ssum_ad_fwd, _ssum_ad_bwd)
@@ -518,7 +522,7 @@ def _bwd(n_types, n_nodes, res, g):
     dw = jnp.stack([
         (msgs * (seg == t)[:, None]).T @ g_rows for t in range(n_types)
     ])
-    return dx, None, None, dw
+    return dx.astype(x.dtype), None, None, dw.astype(conv_w.dtype)
 
 
 _fused_legacy.defvjp(_fwd, _bwd)
@@ -565,7 +569,9 @@ def _bwd_perm(n_types, n_nodes, res, g):
     u = u.reshape(n, t_, k)
     dx = jnp.einsum("ntk,thk->nh", u, conv_w)
     dw = jnp.einsum("nh,ntk->thk", x, u)
-    return dx, None, None, None, dw
+    # cotangent dtypes must match the primals (bf16 training towers
+    # pass bf16 x/W; u accumulates f32)
+    return dx.astype(x.dtype), None, None, None, dw.astype(conv_w.dtype)
 
 
 _fused_perm.defvjp(_fwd_perm, _bwd_perm)

@@ -246,3 +246,32 @@ def test_out_struct_vma_propagates(rng):
     # outside shard_map the vma is empty and the struct still builds
     s = ps._out_struct((4, 128), jnp.zeros((8, 128)))
     assert getattr(s, "vma", frozenset()) == frozenset()
+
+
+@pytest.mark.parametrize("use_perm", [False, True])
+def test_bf16_grads_through_pallas_path(rng, use_perm):
+    """bf16 training on TPU takes the Pallas path: custom-VJP cotangents
+    must come back in the PRIMAL dtypes (jax rejects f32 cotangents for
+    bf16 primals) and track the f32 gradients within bf16 error. CPU
+    tests run the XLA fallback, so without this interpret-mode gate the
+    combination would first fail on hardware mid-training."""
+    N, T, H, E = 128, 6, 64, 512
+    x, src, keys, w, _ = make_case(rng, N, T, H, E)
+    xd, sd, kd, wd = map(jnp.asarray, (x, src, keys, w))
+    perm = (jnp.asarray(np.lexsort(((keys % T), src)).astype(np.int32))
+            if use_perm else None)
+
+    def loss(x_, w_):
+        o = ps.fused_typed_transform_aggregate(
+            x_, sd, kd, w_, T, N, bwd_perm=perm)
+        return 0.5 * jnp.sum(o.astype(jnp.float32) ** 2)
+
+    g32 = jax.grad(loss, argnums=(0, 1))(xd, wd)
+    gbf = jax.grad(loss, argnums=(0, 1))(
+        xd.astype(jnp.bfloat16), wd.astype(jnp.bfloat16))
+    assert gbf[0].dtype == jnp.bfloat16
+    assert gbf[1].dtype == jnp.bfloat16
+    for a, b in zip(gbf, g32):
+        aa, bb = np.asarray(a, np.float32), np.asarray(b)
+        denom = max(np.abs(bb).max(), 1e-6)
+        assert np.abs(aa - bb).max() / denom < 0.05
