@@ -171,3 +171,22 @@ def test_degree_feature_end_to_end(roots):
         os.path.join(roots["ckpt"], "gossip_degf") + ".best",
     ])
     assert rc == 0
+
+
+def test_bf16_train_and_val_every_flags_reach_config():
+    from desco_tpu.config import build_parser, to_pipeline_config
+
+    args = build_parser().parse_args(["--neigh_bf16_train",
+                                      "--val_every", "5"])
+    cfg = to_pipeline_config(args)
+    assert cfg.train_bf16 is True and cfg.val_every == 5
+    # defaults: reference parity
+    cfg0 = to_pipeline_config(build_parser().parse_args([]))
+    assert cfg0.train_bf16 is False and cfg0.val_every == 1
+    # degree feature + node labels are mutually exclusive (the degree
+    # write would clobber column 0 of the one-hot labels)
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        to_pipeline_config(build_parser().parse_args(
+            ["--neigh_degree_feature", "--use_node_feature"]))
