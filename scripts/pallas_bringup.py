@@ -201,11 +201,46 @@ def run_sweep(rng, N, T, H, E):
                   flush=True)
 
 
+def _f64_truth(x, src, keys, w, T, N):
+    """Host-side float64 reference for the smoke: forward, d_x and d_w of
+    loss = 0.5*sum(o^2). The reference MUST be computed off-device: the
+    on-device `jax.grad` of the XLA composite (gather -> per-type mask ->
+    matmul -> scatter) miscompiles when fused into one program on the
+    axon TPU platform (rel err ~1 vs this truth; each stage run alone is
+    exact — verified by staged bisection, round 5). The compiled Pallas
+    VJP matches this truth at bf16-reduce precision, so an on-device XLA
+    reference would falsely implicate the kernel."""
+    x64, w64 = x.astype(np.float64), w.astype(np.float64)
+    dst = keys // T
+    t_ = keys % T
+    live = (keys < N * T) & (dst < N)
+    cd = np.clip(dst, 0, N - 1)
+    ct = np.clip(t_, 0, T - 1)
+    cs = np.clip(src, 0, N - 1)
+    z = np.einsum("nh,thk->tnk", x64, w64)
+    msgs = np.where(live[:, None], z[ct, cs], 0.0)
+    o = np.zeros((N, w.shape[2]))
+    np.add.at(o, cd, msgs)
+    g = o  # dL/do
+    dmsg = np.where(live[:, None],
+                    np.einsum("ek,ekh->eh", g[cd], w64[ct].transpose(0, 2, 1)),
+                    0.0)
+    dx = np.zeros((N, x.shape[1]))
+    np.add.at(dx, cs, dmsg)
+    u = np.zeros((T, N, w.shape[2]))
+    np.add.at(u, (ct, cs), np.where(live[:, None], g[cd], 0.0))
+    dw = np.einsum("nh,tnk->thk", x64, u)
+    return o, dx, dw
+
+
 def run_smoke(rng):
     """Per-round COMPILED-path smoke (VERDICT r4 weak item 2): the fused
     kernel AND its custom VJP (the source-keyed Pallas backward) run on
-    real hardware and allclose against the XLA path — interpret-mode CI
-    covers semantics, this covers Mosaic. ~30 s; run each round:
+    real hardware and allclose against a host-computed float64 ground
+    truth — interpret-mode CI covers semantics, this covers Mosaic.
+    (The reference is host f64, NOT an on-device XLA grad: the fused
+    XLA backward composite miscompiles on this platform — see
+    _f64_truth.) ~30 s; run each round:
 
         timeout 600 python scripts/pallas_bringup.py smoke | tee logs/kernel_smoke.log
     """
@@ -226,25 +261,24 @@ def run_smoke(rng):
                                             bwd_perm=bd)
         return 0.5 * jnp.sum(o * o), o
 
-    def loss_xla(x_, w_):
-        o = xla_ref_jnp(x_, sd, kd, w_, T, N)
-        return 0.5 * jnp.sum(o * o), o
-
     gp = jax.jit(jax.grad(lambda a, b: loss_pallas(a, b)[0], argnums=(0, 1)))
-    gx = jax.jit(jax.grad(lambda a, b: loss_xla(a, b)[0], argnums=(0, 1)))
     fp = jax.jit(lambda a, b: loss_pallas(a, b)[1])
     t0 = time.perf_counter()
     out = np.asarray(fp(xd, wd))
     dxp, dwp = [np.asarray(v) for v in gp(xd, wd)]
     print(f"[smoke] fwd+vjp compile+run {time.perf_counter() - t0:.1f}s",
           flush=True)
-    ref = np.asarray(jax.jit(lambda a, b: loss_xla(a, b)[1])(xd, wd))
-    dxr, dwr = [np.asarray(v) for v in gx(xd, wd)]
+    ref, dxr, dwr = _f64_truth(x, src, keys, w, T, N)
+    # tolerance: both directions reduce in bf16 (f32 accumulate), the
+    # TPU default matmul precision; measured errs vs f64 truth are
+    # 2.6e-3 (d_x) .. 3.4e-3 (fwd) at these shapes — 1e-2 gives 3x
+    # margin while still catching any real Mosaic regression (a wrong
+    # kernel fails at O(1), as the staged bisection showed)
     checks = (("fwd", out, ref), ("d_x", dxp, dxr), ("d_w", dwp, dwr))
     for name, a, b in checks:
         err = np.abs(a - b).max() / max(np.abs(b).max(), 1e-6)
         print(f"[smoke] {name} rel err {err:.2e}", flush=True)
-        assert err < 5e-3, f"smoke {name}: compiled-kernel mismatch"
+        assert err < 1e-2, f"smoke {name}: compiled-kernel mismatch"
     print(f"[smoke] PASS on {jax.devices()[0].platform}", flush=True)
 
 
