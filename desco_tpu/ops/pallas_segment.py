@@ -363,7 +363,12 @@ def pallas_sorted_segment_sum(
     # footprint (keys + acc + msg double-buffer) and fall back to the
     # chunked v1 path for edge streams that would not fit (~16 MiB
     # VMEM/core; leave headroom for the compiler's own buffers)
-    use_v2 = os.environ.get("DESCO_SEG_V2", "0") == "1"
+    # v2 (VMEM-resident keys) is the DEFAULT since round 5: measured on
+    # the chip it never loses — +0.5% end-to-end forward, ~14% on the
+    # kernel alone at large E (312 -> 267 us in an 8-layer chain), 1.7x
+    # on single-dispatch calls (logs/segv2_bench_r5.log). DESCO_SEG_V2=0
+    # opts back into the chunked-key v1 path.
+    use_v2 = os.environ.get("DESCO_SEG_V2", "1") == "1"
     v2_vmem = (4 * e_pad + seg_tile * 128 * 4 + 2 * ce * lanes * 2)
     if use_v2 and v2_vmem > 10 * 2 ** 20:
         use_v2 = False

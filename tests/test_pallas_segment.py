@@ -286,6 +286,7 @@ def test_segsum_v2_matches_v1(rng, monkeypatch):
     msgs = rng.standard_normal((E, 128)).astype(np.float32)
     md, sd = jnp.asarray(msgs), jnp.asarray(seg)
 
+    monkeypatch.setenv("DESCO_SEG_V2", "0")  # v2 is the default now
     ref = np.asarray(ps.pallas_sorted_segment_sum(md, sd, N))
     monkeypatch.setenv("DESCO_SEG_V2", "1")
     out = np.asarray(ps.pallas_sorted_segment_sum(md, sd, N))
