@@ -311,3 +311,38 @@ def test_segsum_v2_matches_v1(rng, monkeypatch):
     jax.eval_shape(lambda m, s: ps.pallas_sorted_segment_sum(m, s, N),
                    big, bigseg)
     assert seen[-1] == "_segsum_kernel"
+
+
+def test_smoke_f64_truth_matches_cpu_autodiff(rng):
+    """The hardware smoke's host-side f64 reference (_f64_truth in
+    scripts/pallas_bringup.py) must agree with jax.grad of the same
+    XLA composite on CPU — where XLA compiles the backward correctly.
+    (On the axon TPU platform the fused backward composite miscompiles,
+    which is exactly why the smoke carries its own host reference; this
+    test pins the reference itself.)"""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts"))
+    from pallas_bringup import _f64_truth, make_case as smoke_case, \
+        xla_ref_jnp
+
+    N, T, H, E = 256, 6, 64, 2048
+    x, src, keys, w = smoke_case(np.random.default_rng(3), N, T, H, E)
+    o_t, dx_t, dw_t = _f64_truth(x, src, keys, w, T, N)
+    sd, kd = jnp.asarray(src), jnp.asarray(keys)
+
+    def loss(x_, w_):
+        o = xla_ref_jnp(x_, sd, kd, w_, T, N)
+        return 0.5 * jnp.sum(o * o)
+
+    o_c = np.asarray(xla_ref_jnp(jnp.asarray(x), sd, kd, jnp.asarray(w),
+                                 T, N))
+    dx_c, dw_c = [np.asarray(v) for v in jax.grad(loss, argnums=(0, 1))(
+        jnp.asarray(x), jnp.asarray(w))]
+    for name, a, b in (("o", o_t, o_c), ("dx", dx_t, dx_c),
+                       ("dw", dw_t, dw_c)):
+        err = np.abs(a - b).max() / max(np.abs(b).max(), 1e-6)
+        assert err < 1e-4, (name, err)
