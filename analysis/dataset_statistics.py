@@ -203,6 +203,22 @@ def main() -> int:
     return 0
 
 
+def _pca2(X):
+    """2-D PCA projection that degrades gracefully for tiny inputs:
+    sklearn requires n_components <= min(n_samples, n_features), so a
+    1-sample set (e.g. --sample 1) pads missing components with zeros
+    instead of raising."""
+    from sklearn.decomposition import PCA
+
+    nc = min(2, len(X), X.shape[1])
+    if nc < 1:
+        return np.zeros((len(X), 2))
+    p = PCA(n_components=nc, random_state=0).fit_transform(X)
+    if p.shape[1] < 2:
+        p = np.concatenate([p, np.zeros((len(p), 2 - p.shape[1]))], 1)
+    return p
+
+
 def _project_and_plot(X, labels, args, tag):
     if args.projection == "tsne":
         from sklearn.manifold import TSNE
@@ -211,18 +227,13 @@ def _project_and_plot(X, labels, args, tag):
         # [2, n-1) so tiny --sample values don't crash sklearn
         perp = max(2, min(40, (len(X) - 1) // 4))
         if len(X) <= perp + 1:
-            from sklearn.decomposition import PCA
-
-            proj = PCA(n_components=2,
-                       random_state=0).fit_transform(X)
+            proj = _pca2(X)
         else:
             proj = TSNE(n_components=2, perplexity=perp,
                         max_iter=300, init="pca",
                         random_state=0).fit_transform(X)
     else:
-        from sklearn.decomposition import PCA
-
-        proj = PCA(n_components=2, random_state=0).fit_transform(X)
+        proj = _pca2(X)
 
     import matplotlib
 
@@ -276,15 +287,26 @@ def _trained_embeddings(args, neighs_by_ds):
         jax.random.PRNGKey(0), tgt_cfg, qry_cfg)
     params, _, _ = load_checkpoint(args.checkpoint, template)
 
+    from desco_tpu.batch.build import homogeneous_neighborhood_sample
+
     fn = None
     out, labels = [], []
     for name, neighs in neighs_by_ds.items():
-        # mirror prepare_stage_data: the checkpoint's tconv/order/f_dim/
-        # degree-feature settings decide the edge typing and features —
-        # defaults here would silently mis-embed non-default checkpoints
-        samples = [neighborhood_sample(nb, use_tconv=cfg.use_tconv,
+        # mirror prepare_stage_data: the checkpoint's hetero/tconv/order/
+        # f_dim/node-feature/degree-feature settings decide the edge
+        # typing and features — defaults here would silently mis-embed
+        # non-default checkpoints (a --no-use_hetero checkpoint has one
+        # conv type; hetero typing would index out of its weight table)
+        def one_sample(nb):
+            if not cfg.use_hetero:
+                return homogeneous_neighborhood_sample(nb)
+            # induced_subgraph carries node_feat through in local order
+            feat = nb.graph.node_feat if cfg.use_node_feature else None
+            return neighborhood_sample(nb, use_tconv=cfg.use_tconv,
                                        f_dim=cfg.neigh_input_dim,
-                                       order=cfg.order) for nb in neighs]
+                                       x=feat, order=cfg.order)
+
+        samples = [one_sample(nb) for nb in neighs]
         if cfg.degree_feature:
             apply_degree_feature(samples)
         caps = auto_capacities(samples, g_cap=256)

@@ -272,14 +272,11 @@ def _circular_extend(g, g_len):
 
 def _windows_from_len(lens, L: int, m: int):
     """[B, M, L] strided-window membership for given (possibly
-    extended) lengths — the stride/kernel rule of DIAMNet.py:857-858."""
-    stride = lens // m
-    kernel = lens - (m - 1) * stride
-    w_idx = jnp.arange(m)[None, :, None]
-    l_idx = jnp.arange(L)[None, None, :]
-    lo = w_idx * stride[:, None, None]
-    hi = lo + kernel[:, None, None]
-    return (l_idx >= lo) & (l_idx < hi) & (l_idx < lens[:, None, None])
+    extended) lengths — delegates to _mem_windows so the stride/kernel
+    rule (DIAMNet.py:857-858) lives in exactly one place. (No extra
+    ``l_idx < lens`` clamp is needed: every window's hi = lo + kernel
+    <= (m-1)*stride + kernel = lens.)"""
+    return _mem_windows(lens, L, m)[0]
 
 
 def init_mem_attn(params, cfg, g, g_len, circular: bool = False):

@@ -294,9 +294,12 @@ def _out_struct(shape, *operands):
     varying-across-mesh set is the union of the operands' — without it
     the tracer rejects the kernel on the first real multi-device
     lowering (found by scripts/halo_on_chip.py)."""
+    typeof = getattr(jax, "typeof", None)
+    if typeof is None:  # older jax: no jax.typeof and no vma kwarg
+        return jax.ShapeDtypeStruct(shape, jnp.float32)
     vma = frozenset()
     for op in operands:
-        vma = vma | getattr(jax.typeof(op), "vma", frozenset())
+        vma = vma | getattr(typeof(op), "vma", frozenset())
     try:
         return jax.ShapeDtypeStruct(shape, jnp.float32, vma=vma)
     except TypeError:  # older jax: no vma kwarg

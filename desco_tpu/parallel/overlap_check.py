@@ -96,10 +96,18 @@ def _carry_pairs(eqn, sub):
         if len(ivs) == len(ovs):
             return list(zip(ivs, ovs))
     elif name == "while":
+        # identify the BODY jaxpr by identity — a length heuristic can
+        # mistake the cond jaxpr for it (cond_nconsts + num_carry -
+        # body_nconsts == 1 pairs a carry invar with the boolean
+        # predicate outvar and over-taints the cond walk)
+        body = eqn.params.get("body_jaxpr")
+        body = getattr(body, "jaxpr", body)
+        if sub is not body:
+            return []
         nc = eqn.params.get("body_nconsts", 0)
         ivs = sub.invars[nc:]
         ovs = sub.outvars
-        if len(ivs) == len(ovs):  # the body jaxpr (cond won't match)
+        if len(ivs) == len(ovs):
             return list(zip(ivs, ovs))
     return []
 
@@ -172,7 +180,13 @@ def _walk(jaxpr, taint: Dict, rep: OverlapReport):
                     for sv in sub.invars:
                         sub_taint[sv] = in_t
                 carries = _carry_pairs(eqn, sub)
-                for _ in range(16):  # bounded taint fixpoint
+                # taint fixpoint: tags only accumulate (monotone over a
+                # finite lattice), so |carries| * |distinct tags| bounds
+                # the true iteration count; cap generously and FAIL
+                # CLOSED if ever hit — silently under-propagating would
+                # let a real violation pass the checker
+                max_iters = 16 + 2 * len(carries)
+                for it in range(max_iters):
                     _walk(sub, sub_taint, rep)
                     changed = False
                     for iv, ov in carries:
@@ -183,6 +197,11 @@ def _walk(jaxpr, taint: Dict, rep: OverlapReport):
                             changed = True
                     if not changed:
                         break
+                else:  # pragma: no cover - requires pathological depth
+                    rep.violations.append(
+                        (f"taint fixpoint not converged after "
+                         f"{max_iters} iters in {eqn.primitive.name}",
+                         "fixpoint"))
                 for sv in sub.outvars:
                     if isinstance(sv, Literal):
                         continue

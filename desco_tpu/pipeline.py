@@ -284,7 +284,10 @@ def train_neighborhood_stage(
         weight_decay=cfg.neigh_weight_decay, mesh=mesh,
         ckpt_path=ckpt_path, ckpt_config=dataclasses.asdict(cfg),
         seed=cfg.seed, log_fn=log_fn, resume=resume,
-        val_every=cfg.val_every)
+        val_every=cfg.val_every,
+        # val stays on the f32 tower even when the step trains bf16, so
+        # plateau/best-checkpoint decisions match the serving forward
+        eval_tgt_cfg=tgt_cfg)
     return result, tgt_cfg, qry_cfg
 
 

@@ -313,8 +313,14 @@ def neighborhood_eval_fn(tgt_cfg, qry_cfg, query_batch):
 def train_neighborhood(
     params, tgt_cfg, qry_cfg, query_batch,
     train_batches, val_batches, *, epochs=300, lr=1e-4,
-    weight_decay=0.0, ckpt_path=None, ckpt_config=None, mesh=None, **kw,
+    weight_decay=0.0, ckpt_path=None, ckpt_config=None, mesh=None,
+    eval_tgt_cfg=None, **kw,
 ) -> TrainResult:
+    """``eval_tgt_cfg`` lets bf16 training keep its val passes (plateau
+    scheduler + best-checkpoint selection) on the f32 tower: the step
+    runs ``tgt_cfg`` (possibly bf16), validation runs ``eval_tgt_cfg``
+    (defaults to ``tgt_cfg``) — so the recorded best_val matches the
+    f32 forward used at serving time."""
     tx = make_adam(weight_decay)
     if mesh is not None:
         step = dp_step_fn(
@@ -326,7 +332,8 @@ def train_neighborhood(
         params=params, tx=tx, train_batches=train_batches,
         val_batches=val_batches,
         step_fn=step,
-        eval_fn=neighborhood_eval_fn(tgt_cfg, qry_cfg, query_batch),
+        eval_fn=neighborhood_eval_fn(eval_tgt_cfg or tgt_cfg, qry_cfg,
+                                     query_batch),
         epochs=epochs, lr=lr, ckpt_path=ckpt_path,
         ckpt_config=ckpt_config, mesh=mesh, **kw)
 
