@@ -388,3 +388,33 @@ def test_bf16_loss_tracks_f32(tiny_cfg, tiny_data):
     gl = jax.tree_util.tree_leaves(g)
     assert all(x.dtype == jnp.float32 for x in gl)
     assert sum(float(jnp.abs(x).sum()) for x in gl) > 0
+
+
+def test_bf16_training_validates_on_f32_tower(tiny_cfg, tiny_data,
+                                              monkeypatch):
+    """With train_bf16, validation must run the F32 tower (the forward
+    serving uses), not the bf16 step tower: the pipeline passes
+    eval_tgt_cfg=f32 through to train_neighborhood, and the eval_fn it
+    builds computes the f32 loss. Guards the documented contract of
+    --neigh_bf16_train ('loss and val metrics stay f32')."""
+    import jax.numpy as jnp
+
+    from desco_tpu.train import loop as train_loop
+
+    train, val, _ = tiny_data
+    cfg = dataclasses.replace(tiny_cfg, train_bf16=True, neigh_epochs=1)
+    qb = build_query_batch(cfg)
+    seen = {}
+    orig = train_loop.train_neighborhood
+
+    def spy(params, tgt_cfg, *a, **kw):
+        seen["step_dtype"] = tgt_cfg.dtype
+        seen["eval_cfg"] = kw.get("eval_tgt_cfg")
+        return orig(params, tgt_cfg, *a, **kw)
+
+    monkeypatch.setattr(train_loop, "train_neighborhood", spy)
+    train_neighborhood_stage(cfg, train, val, qb,
+                             log_fn=lambda *_: None)
+    assert seen["step_dtype"] == jnp.bfloat16
+    assert seen["eval_cfg"] is not None
+    assert seen["eval_cfg"].dtype == jnp.float32
