@@ -73,6 +73,39 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     cfg = to_pipeline_config(args)
 
+    # Eval-only runs (--neigh_checkpoint without --train_neigh) adopt the
+    # checkpoint's model/feature fields — mirroring CountingService's
+    # config rehydration (serving.py:_rehydrate_config). Without this, a
+    # checkpoint trained with e.g. --neigh_degree_feature or
+    # --neigh_order 4 evaluated without the matching flags would stage
+    # samples with DIFFERENT edge typing/features than it was trained
+    # on and produce silently-wrong counts (same-shaped params load
+    # fine). Each adopted difference is announced.
+    if not args.train_neigh and args.neigh_checkpoint:
+        _MODEL_FIELDS = (
+            "query_sizes", "depth", "use_hetero", "use_tconv", "order",
+            "conv_type", "neigh_layer_num", "neigh_hidden_dim",
+            "neigh_input_dim", "degree_feature", "use_node_feature",
+            "custom_query_ids", "gossip_layer_num", "gossip_hidden_dim")
+        try:
+            with open(args.neigh_checkpoint[0] + ".json") as f:
+                _saved = (json.load(f).get("config") or {})
+        except (OSError, ValueError):
+            _saved = {}
+        _adopt = {}
+        for k in _MODEL_FIELDS:
+            if k not in _saved:
+                continue
+            v = _saved[k]
+            if isinstance(v, list):
+                v = tuple(v)
+            if getattr(cfg, k) != v:
+                print(f"adopting {k}={v!r} from checkpoint config "
+                      f"(CLI had {getattr(cfg, k)!r})")
+                _adopt[k] = v
+        if _adopt:
+            cfg = dataclasses.replace(cfg, **_adopt)
+
     if args.compile_cache:
         from desco_tpu.utils.compile_cache import enable_compilation_cache
 
