@@ -62,10 +62,11 @@ def default_agg_mode() -> str:
         backend = jax.default_backend()
     except Exception:  # pragma: no cover
         return "aggregate_first"
-    return "aggregate_first" if backend == "cpu" else "pallas"
+    # Mosaic kernels lower on TPU only — any other backend (cpu, gpu,
+    # future plugins) takes the XLA path
+    return "pallas" if backend == "tpu" else "aggregate_first"
 
 
-KS = CE // 128  # key sub-rows per chunk (keys stored [n_chunks, KS, 128])
 
 
 def _segsum_kernel(offs_ref, gmin_ref, gmax_ref, seg_hbm, msgs_hbm,
@@ -327,6 +328,9 @@ def pallas_sorted_segment_sum(
     assert gsz % 128 == 0 and ce % gsz == 0, (ce, gsz)
     assert seg_tile >= 256, seg_tile  # fast path uses a 256-row window
     e, k = msgs.shape
+    assert k <= LANES, (
+        f"segment-sum kernel carries at most {LANES} feature lanes, "
+        f"got K={k}; split features or use the XLA path")
     ks = ce // 128
     # lanes stay 128: a 64-lane chunked-DMA path is not expressible on
     # this toolchain — Mosaic rejects EVERY memref slice whose minor dim
@@ -336,14 +340,14 @@ def pallas_sorted_segment_sum(
     # [E, 64] stream cannot be formed. The 64 -> 128 pad costs ~0.04 ms
     # per layer on the bench workload (pad_select fusion).
     lanes = LANES
-    n_pad = ((n_segments + seg_tile - 1) // seg_tile) * seg_tile
-    n_tiles = n_pad // seg_tile
+    n_tiles = lax_ceil_div(n_segments, seg_tile)
+    n_pad = n_tiles * seg_tile
     bounds = jnp.arange(n_tiles + 1, dtype=jnp.int32) * seg_tile
     offs = jnp.searchsorted(
         seg.astype(jnp.int32), bounds, method="scan_unrolled"
     ).astype(jnp.int32)
 
-    e_pad = ((e + ce - 1) // ce) * ce
+    e_pad = lax_ceil_div(e, ce) * ce
     seg2 = seg.astype(jnp.int32)
     if e_pad != e:
         seg2 = jnp.concatenate(
@@ -371,8 +375,13 @@ def pallas_sorted_segment_sum(
     # kernel alone at large E (312 -> 267 us in an 8-layer chain), 1.7x
     # on single-dispatch calls (logs/segv2_bench_r5.log). DESCO_SEG_V2=0
     # opts back into the chunked-key v1 path.
+    # Keys are budgeted at 2x their size: the pipeline may double-buffer
+    # even a constant-index key block (single-buffering for revisited
+    # blocks is an optimization the guard must not rely on), so the
+    # fallback engages around ~1.3M edges instead of risking a VMEM
+    # exhaustion right below the old threshold.
     use_v2 = os.environ.get("DESCO_SEG_V2", "1") == "1"
-    v2_vmem = (4 * e_pad + seg_tile * 128 * 4 + 2 * ce * lanes * 2)
+    v2_vmem = (2 * 4 * e_pad + seg_tile * 128 * 4 + 2 * ce * lanes * 2)
     if use_v2 and v2_vmem > 10 * 2 ** 20:
         use_v2 = False
     if use_v2:
