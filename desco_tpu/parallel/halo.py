@@ -197,6 +197,7 @@ def locality_order(n_nodes: int, edge_src: np.ndarray,
         deg = np.bincount(uu, minlength=n_cur)
         indptr = np.concatenate([[0], np.cumsum(deg)])
         match = np.full(n_cur, -1, np.int64)
+        joined = []
         for a in rng.permutation(n_cur):
             if match[a] >= 0:
                 continue
@@ -209,7 +210,20 @@ def locality_order(n_nodes: int, edge_src: np.ndarray,
                 match[b] = a
             else:
                 match[a] = a
+                ok2 = nb != a
+                if ok2.any():
+                    joined.append((a, nb[ok2][np.argmax(nw[ok2])]))
         rep = np.minimum(np.arange(n_cur), match)
+        # hub/leaf regime: when pair matching stalls (merges <10% of the
+        # nodes — a star merges ONE pair per round, making the loop
+        # O(n^2) Python), blocked nodes join their heaviest matched
+        # neighbor's pair instead. On healthy graphs matching makes
+        # normal progress and this never fires, preserving the
+        # weight-guided coarsening quality.
+        n_pairs = int((match != np.arange(n_cur)).sum()) // 2
+        if n_pairs * 10 < n_cur:
+            for a, b in joined:
+                rep[a] = rep[b]
         uniq, cmap = np.unique(rep, return_inverse=True)
         n_new = len(uniq)
         if n_new >= n_cur:  # no progress (isolated nodes only)
@@ -223,6 +237,13 @@ def locality_order(n_nodes: int, edge_src: np.ndarray,
         w = np.bincount(inv2, weights=w).astype(np.int64)
         u, v = uk // n_new, uk % n_new
         n_cur = n_new
+
+    # isolated-node-heavy graphs can exit the loop with n_cur still
+    # large (isolated nodes never merge); the dense density matrix below
+    # would then be O(n_cur^2) bytes — fall back to the BFS ordering,
+    # which handles such graphs fine (isolated nodes have no comm)
+    if n_cur > 8192:
+        return _bfs_order(n_nodes, edge_src, edge_dst)
 
     # greedy linear arrangement of the coarse supernodes by density
     wmat = np.zeros((n_cur, n_cur))
@@ -497,14 +518,22 @@ def partition_typed_graph(
 
 # ------------------------------------------------------------- device side
 def _halo_segment_sum(msgs: jnp.ndarray, seg: jnp.ndarray,
-                      n_segments: int) -> jnp.ndarray:
+                      n_segments: int,
+                      prefer_kernel: bool = True) -> jnp.ndarray:
     """Sorted segment-sum for the halo streams: the fused Pallas kernel
     on real TPU (streams are (dst,type)-sorted by construction, k <= 128;
     bf16 reduce / f32 accumulate like every TPU matmul), plain XLA on
-    CPU. Differentiable on both paths (sorted_segment_sum_ad)."""
+    CPU. Differentiable on both paths (sorted_segment_sum_ad).
+
+    ``prefer_kernel=False`` forces the XLA f32 path even on TPU — the
+    GOSSIP callers use it so the sharded gossip matches the packed
+    ``gossip_predict`` exactly (the packed gossip aggregates in plain
+    XLA f32, models/gossip.py); the SHMP callers keep the kernel, whose
+    bf16 reduce matches the packed stage-1 Pallas path."""
     from ..ops.pallas_segment import default_agg_mode, sorted_segment_sum_ad
 
-    if default_agg_mode() == "pallas" and msgs.shape[1] <= 128:
+    if (prefer_kernel and default_agg_mode() == "pallas"
+            and msgs.shape[1] <= 128):
         return sorted_segment_sum_ad(
             msgs, seg, n_segments).astype(msgs.dtype)
     return segment_sum(msgs, seg, n_segments, indices_are_sorted=True)
@@ -532,6 +561,7 @@ def halo_typed_aggregate(
     shard: HaloPartition,       # one device's shard (leading axis stripped)
     axis: str = "graph",
     tag: str = "",
+    prefer_kernel: bool = True,
 ) -> jnp.ndarray:
     """Hybrid typed aggregation over this shard's resident edges:
     [n_loc, T, H] — structured so both collectives overlap independent
@@ -571,7 +601,8 @@ def halo_typed_aggregate(
     with jax.named_scope(f"halo_interior{tag}"):
         msgs_i = jnp.take(x_local, shard.edge_src_int, axis=0)
         comb = _halo_segment_sum(msgs_i, shard.edge_seg_int,
-                                 n_loc * t + d * p_max)
+                                 n_loc * t + d * p_max,
+                                 prefer_kernel=prefer_kernel)
         agg = comb[:n_loc * t]
 
     # (3) push exchange of the interior partials
@@ -587,7 +618,8 @@ def halo_typed_aggregate(
         with jax.named_scope(f"halo_boundary{tag}"):
             msgs_b = jnp.take(halo, shard.edge_src_bnd, axis=0)
             agg = agg + _halo_segment_sum(msgs_b, shard.edge_seg_bnd,
-                                          n_loc * t)
+                                          n_loc * t,
+                                          prefer_kernel=prefer_kernel)
 
     # (5) received push partials: dead slots carry exact zeros and
     # out-of-range targets (dropped)
@@ -641,7 +673,7 @@ def halo_gat_aggregator(cfg, shard, att, axis: str = "graph"):
         z_h = jnp.einsum("nh,thk->tnk", halo, conv_w)     # [T, D*h, K]
         s_src_h = jnp.einsum("tnk,tk->tn", z_h, a_src)
 
-        def edge_terms(seg, src, s_src_tab, z_tab):
+        def edge_terms(seg, src, s_src_tab):
             # pad edges carry out-of-range seg keys -> dropped by every
             # segment op below; their gathered garbage never lands
             et = jnp.clip(seg % t_n, 0, t_n - 1)
@@ -650,12 +682,12 @@ def halo_gat_aggregator(cfg, shard, att, axis: str = "graph"):
                 s_src_tab[et, src] + s_dst[et, dst], 0.2)
             return et, s_e
 
-        et_i, s_e_i = edge_terms(seg_i, shard.edge_src_int, s_src, z)
+        et_i, s_e_i = edge_terms(seg_i, shard.edge_src_int, s_src)
         m = jax.ops.segment_max(s_e_i, seg_i, num_segments=n * t_n,
                                 indices_are_sorted=True)
         if has_bnd:
             et_b, s_e_b = edge_terms(seg_b, shard.edge_src_bnd,
-                                     s_src_h, z_h)
+                                     s_src_h)
             m_b = jax.ops.segment_max(s_e_b, seg_b, num_segments=n * t_n,
                                       indices_are_sorted=True)
             m = jnp.maximum(m, m_b)
@@ -776,8 +808,15 @@ def halo_shmp_core(params, cfg, part_shard, axis: str = "graph",
     arrive through fresh pull/push exchanges per layer. Returns the
     local slice of the concat-skip embeddings [n_loc, post_input_dim].
     """
-    from ..models.shmp_gnn import _per_type_linear, run_shmp_layers
+    from ..models.shmp_gnn import (
+        _per_type_linear, cast_params, run_shmp_layers,
+    )
 
+    # same cast apply_shmp_core does (shmp_gnn.py): with
+    # cfg.dtype=bfloat16 the halo tower must run bf16 params too, or
+    # halo-vs-packed parity silently breaks and the bf16 comm savings
+    # (pull/push all_to_all payloads) are lost
+    params = cast_params(params, cfg.dtype)
     nmask = part_shard.node_mask[:, None].astype(cfg.dtype)
     ntype = part_shard.node_type
 
@@ -809,15 +848,21 @@ def halo_graph_pool(emb_local, node_graph_local, n_graphs: int,
 
 
 def halo_gossip_single(params, part_shard, x_col_local, query_emb,
-                       axis: str = "graph"):
+                       axis: str = "graph",
+                       dropout: float = 0.0, train: bool = False,
+                       rng=None):
     """Gossip forward for ONE query over ONE sharded large graph — runs
     inside shard_map on a HaloPartition shard whose edge types are the
     direction bits (0 fwd / 1 bwd). Mirrors
-    models/gossip.apply_gossip_single with hybrid pull/push exchange
-    feeding the per-direction aggregations; enables single-graph gossip
-    inference at P2P/Astro scale across chips (the reference runs such
-    graphs whole on one device, data.py:753-886)."""
+    models/gossip.apply_gossip_single (including its dropout points)
+    with hybrid pull/push exchange feeding the per-direction
+    aggregations; enables single-graph gossip inference at P2P/Astro
+    scale across chips (the reference runs such graphs whole on one
+    device, data.py:753-886). Aggregations run prefer_kernel=False so
+    the math matches the packed path's plain-XLA f32 reduction exactly
+    even on TPU."""
     from ..models.gossip import _gate
+    from ..models.shmp_gnn import _dropout
 
     nmask = part_shard.node_mask[:, None]
     w_pre, b_pre = params["pre"]
@@ -829,22 +874,31 @@ def halo_gossip_single(params, part_shard, x_col_local, query_emb,
 
     deg = halo_typed_aggregate(
         part_shard.node_mask[:, None], part_shard, axis,
-        tag="_L100")[..., 0]  # [n_loc, 2]
+        tag="_L100", prefer_kernel=False)[..., 0]  # [n_loc, 2]
 
     for li, conv in enumerate(params["convs"]):
+        if rng is not None:
+            rng, sub = jax.random.split(rng)
+        else:
+            sub = None
         g = _gate(conv, query_emb)
-        agg = halo_typed_aggregate(x, part_shard, axis, tag=f"_L{li}")
+        agg = halo_typed_aggregate(x, part_shard, axis, tag=f"_L{li}",
+                                   prefer_kernel=False)
         mixed = g * agg[:, 0] + (1.0 - g) * agg[:, 1]
         wc, bc = conv["com"]
         wdeg = (g * deg[:, 0] + (1.0 - g) * deg[:, 1])[:, None]
         aggr = mixed @ wc + bc * wdeg
         wu, bu = conv["upd"]
-        x = jax.nn.relu(
-            jnp.concatenate([aggr, x], axis=-1) @ wu + bu) * nmask
+        x = jax.nn.relu(jnp.concatenate([aggr, x], axis=-1) @ wu + bu)
+        x = _dropout(x, dropout, sub, train) * nmask
         emb = jnp.concatenate([emb, x], axis=-1)
 
     (w1, b1), (w2, b2), (w3, b3), (w4, b4) = params["post"]
-    h = jax.nn.leaky_relu(emb @ w1 + b1, negative_slope=0.1)
+    h = emb @ w1 + b1
+    if rng is not None:
+        rng, sub = jax.random.split(rng)
+        h = _dropout(h, dropout, sub, train)
+    h = jax.nn.leaky_relu(h, negative_slope=0.1)
     h = jax.nn.relu(h @ w2 + b2)
     h = jax.nn.relu(h @ w3 + b3)
     out = (h @ w4 + b4)[:, 0]
@@ -853,7 +907,9 @@ def halo_gossip_single(params, part_shard, x_col_local, query_emb,
 
 # ------------------------------------------------------- training (halo)
 def halo_gossip_loss(params, part_shard, query_embs,
-                     axis: str = "graph"):
+                     axis: str = "graph",
+                     dropout: float = 0.0, train: bool = False,
+                     rng=None):
     """Gossip objective over ONE sharded large graph — runs inside
     shard_map. Same semantics as models/gossip.gossip_loss (SUM over
     nodes and queries of log2(|gossip + neigh - truth| + 1),
@@ -861,38 +917,56 @@ def halo_gossip_loss(params, part_shard, query_embs,
     so gradients through the per-layer all_to_all exchanges are exact.
 
     part_shard.x: [n_loc, Q] stage-1 counts; node_y: [n_loc, Q] truth.
+    ``dropout``/``rng`` mirror models/gossip.gossip_loss (the reference
+    trains gossip with dropout 0.01); the rng folds in the mesh
+    position so each shard draws an independent stream.
     """
+    n_q = query_embs.shape[0]
+    if rng is not None:
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+        rngs = jax.random.split(rng, n_q)
+    else:
+        rngs = jnp.zeros((n_q, 2), dtype=jnp.uint32)
+
     def one_query(_, inp):
-        q_emb, x_col, y_col = inp
-        gossip = halo_gossip_single(params, part_shard, x_col, q_emb, axis)
+        q_emb, x_col, y_col, r = inp
+        r = r if rng is not None else None
+        gossip = halo_gossip_single(params, part_shard, x_col, q_emb,
+                                    axis, dropout, train, r)
         pred = gossip + x_col
         loss = jnp.log2(jnp.abs(pred - y_col) + 1.0)
         return None, (loss * part_shard.node_mask).sum()
 
     _, losses = jax.lax.scan(
         jax.checkpoint(one_query), None,
-        (query_embs, part_shard.x.T, part_shard.node_y.T))
+        (query_embs, part_shard.x.T, part_shard.node_y.T, rngs))
     return jax.lax.psum(losses.sum(), axis)
 
 
-def halo_gossip_step_fn(tx, mesh, axis: str = "graph"):
+def halo_gossip_step_fn(tx, mesh, axis: str = "graph",
+                        dropout: float = 0.0):
     """Jitted gossip train step over a halo-partitioned graph: params
     replicated, graph sharded on the ``graph`` mesh axis, gradients flow
     through the halo all_to_all; the psum'd global loss differentiates
-    to replicated gradients (same VMA argument as parallel/dp.py)."""
+    to replicated gradients (same VMA argument as parallel/dp.py).
+    ``dropout`` + the step's ``rng`` argument mirror the packed gossip
+    trainer (train/loop.py: dropout 0.01 by default there)."""
     import optax
     from functools import partial
     from jax.sharding import PartitionSpec as P
 
     @partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(P(), P(), P(axis), P(), P()),
+        in_specs=(P(), P(), P(axis), P(), P(), P()),
         out_specs=(P(), P(), P()),
     )
-    def step(params, opt_state, part, query_embs, lr):
+    def step(params, opt_state, part, query_embs, lr, rng):
         shard = jax.tree_util.tree_map(lambda a: a[0], part)
         loss, grads = jax.value_and_grad(
-            lambda p: halo_gossip_loss(p, shard, query_embs, axis))(params)
+            lambda p: halo_gossip_loss(
+                p, shard, query_embs, axis, dropout=dropout,
+                train=dropout > 0.0,
+                rng=rng if dropout > 0.0 else None))(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         updates = jax.tree_util.tree_map(lambda u: u * lr, updates)
         params = optax.apply_updates(params, updates)
@@ -954,6 +1028,14 @@ def serve_gossip_counts(gparams, graph, x_all: np.ndarray, query_embs,
     refined = np.empty((n, n_q), np.float32)
     with mesh:
         fn = jax.jit(run_one)
+        # transfer the partition (edge streams + exchange plans, the
+        # largest arrays here) and params ONCE — the per-query loop
+        # previously re-uploaded them every dispatch
+        gparams = jax.device_put(gparams)
+        part = jax.device_put(
+            part, jax.sharding.NamedSharding(mesh, P("graph")))
+        xcols = jax.device_put(
+            jnp.asarray(xcols), jax.sharding.NamedSharding(mesh, P("graph")))
         for qi in range(n_q):
             resid = np.asarray(fn(gparams, part, xcols[:, :, qi],
                                   query_embs[qi]))     # [D, n_loc]

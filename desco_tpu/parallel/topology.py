@@ -100,26 +100,33 @@ def stack_partitions(parts: list):
         *parts)
 
 
-def dp_halo_gossip_step_fn(tx, mesh: Mesh):
+def dp_halo_gossip_step_fn(tx, mesh: Mesh, dropout: float = 0.0):
     """Composed 2-axis gossip train step.
 
     part: HaloPartition pytree with leading axis n_data * n_graph,
     sharded P(("data", "graph")) — data row d, graph column g holds
     shard g of replica d's graph. Loss = sum over replicas of each
     replica's halo-psum'd sum loss (the 'sum' weight kind of
-    parallel/dp.py, which is the reference's gossip loss semantics)."""
+    parallel/dp.py, which is the reference's gossip loss semantics).
+    ``dropout`` + the step's ``rng`` argument mirror the packed gossip
+    trainer; halo_gossip_loss folds the rng over BOTH mesh axes (it
+    folds in axis_index('graph'); the 'data' replica index is folded
+    here) so every shard draws an independent stream."""
 
     @partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(P(), P(), P(("data", "graph")), P(), P()),
+        in_specs=(P(), P(), P(("data", "graph")), P(), P(), P()),
         out_specs=(P(), P(), P()),
     )
-    def step(params, opt_state, part, query_embs, lr):
+    def step(params, opt_state, part, query_embs, lr, rng):
         shard = jax.tree_util.tree_map(lambda a: a[0], part)
 
         def loss_fn(p):
+            r = (jax.random.fold_in(rng, jax.lax.axis_index("data"))
+                 if dropout > 0.0 else None)
             local = halo_mod.halo_gossip_loss(
-                p, shard, query_embs, "graph")   # psum over graph axis
+                p, shard, query_embs, "graph", dropout=dropout,
+                train=dropout > 0.0, rng=r)      # psum over graph axis
             return jax.lax.psum(local, "data")   # global sum over replicas
 
         loss, grads = jax.value_and_grad(loss_fn)(params)

@@ -291,7 +291,8 @@ def test_halo_gossip_step_runs(rng):
     step = halo_gossip_step_fn(tx, mesh)
     with mesh:
         new_params, opt_state, loss = jax.jit(step)(
-            params, opt_state, part, q_embs, jnp.float32(1e-3))
+            params, opt_state, part, q_embs, jnp.float32(1e-3),
+            jax.random.PRNGKey(0))
     assert np.isfinite(float(loss))
     delta = jax.tree_util.tree_reduce(
         lambda acc, leaf: acc + float(jnp.abs(leaf).sum()),

@@ -111,7 +111,8 @@ def test_dp_halo_step_runs(rng):
     step = dp_halo_gossip_step_fn(tx, mesh)
     with mesh:
         new_params, opt_state, loss = jax.jit(step)(
-            params, opt_state, stacked, q_embs, jnp.float32(1e-3))
+            params, opt_state, stacked, q_embs, jnp.float32(1e-3),
+            jax.random.PRNGKey(0))
     assert np.isfinite(float(loss))
     delta = jax.tree_util.tree_reduce(
         lambda acc, leaf: acc + float(jnp.abs(leaf).sum()),
