@@ -309,14 +309,15 @@ def neighborhood_predictions(params, tgt_cfg, qry_cfg, query_batch,
 
         tgt_cfg = dataclasses.replace(tgt_cfg, dtype=jnp.bfloat16)
 
-    def _one_forward(member):
+    def _one_forward(member, staged=None):
         if mesh is not None and int(mesh.devices.size) > 1:
             from .parallel.dp import dp_predict_neighborhood_counts
 
             return dp_predict_neighborhood_counts(
                 member, tgt_cfg, qry_cfg, query_batch, stage.batches, mesh)
         return train_loop.predict_neighborhood_counts(
-            member, tgt_cfg, qry_cfg, query_batch, stage.batches)
+            member, tgt_cfg, qry_cfg, query_batch, stage.batches,
+            staged=staged)
 
     if isinstance(params, (list, tuple)) and len(params) == 1:
         params = params[0]
@@ -324,8 +325,14 @@ def neighborhood_predictions(params, tgt_cfg, qry_cfg, query_batch,
         # checkpoint ensemble: average members in the model's native
         # log2(count+1) space (geometric-mean-like — count errors are
         # multiplicative), then de-log back to counts. Clamp/verify run
-        # once on the combined prediction.
-        member_counts = [_one_forward(p) for p in params]
+        # once on the combined prediction. The batch upload (the
+        # dominant cost over the tunnel) is staged ONCE and shared by
+        # all members.
+        staged = (None if (mesh is not None
+                           and int(mesh.devices.size) > 1)
+                  else train_loop.stage_batches_for_predict(
+                      stage.batches, query_batch))
+        member_counts = [_one_forward(p, staged) for p in params]
         logs = np.mean([np.log2(np.maximum(c, 0.0) + 1.0)
                         for c in member_counts], axis=0)
         counts = np.exp2(logs) - 1.0

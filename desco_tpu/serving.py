@@ -167,6 +167,13 @@ class CountingService:
         # once each.
         self._neigh_buckets: dict = {}
         self._gossip_buckets: dict = {}
+        # bucket growth must be atomic: count_stream's producer thread
+        # and concurrent count() calls both reach _pin_caps; unlocked,
+        # two racing growers could each write last and shrink the
+        # other's pinned caps, re-triggering compiles forever
+        import threading
+
+        self._caps_lock = threading.Lock()
 
     # ------------------------------------------------------ capacities
     @staticmethod
@@ -174,7 +181,10 @@ class CountingService:
         if caps is None:
             return False
         n_cap, e_cap, _ = caps
-        return all(s.n_nodes + 1 < n_cap and s.n_edges <= e_cap
+        # pack_samples accepts n_nodes <= n_cap - 1 (one pad slot) —
+        # match it exactly, or a boundary-sized sample forces a spurious
+        # regrow + recompile of a bucket that could have served it
+        return all(s.n_nodes + 1 <= n_cap and s.n_edges <= e_cap
                    for s in samples)
 
     @staticmethod
@@ -193,18 +203,20 @@ class CountingService:
         while g_target < min(len(samples), g_cap_max):
             g_target *= 2
         g_target = min(g_target, g_cap_max)
-        caps = buckets.get(g_target)
-        if not self._fit(caps, samples):
-            # slack>1: one compiled bucket shape absorbs slightly-larger
-            # follow-up requests (recompiles cost seconds via the tunnel)
-            caps = self._grow(caps,
-                              auto_capacities(samples, g_cap=g_target,
-                                              slack=1.2))
-            # keep the slot count at the bucket key (auto_capacities
-            # shrinks g_cap to len(samples)) so repeats share shapes
-            caps = (caps[0], caps[1], g_target)
-            buckets[g_target] = caps
-        return caps
+        with self._caps_lock:
+            caps = buckets.get(g_target)
+            if not self._fit(caps, samples):
+                # slack>1: one compiled bucket shape absorbs slightly-
+                # larger follow-up requests (recompiles cost seconds
+                # via the tunnel)
+                caps = self._grow(caps,
+                                  auto_capacities(samples, g_cap=g_target,
+                                                  slack=1.2))
+                # keep the slot count at the bucket key (auto_capacities
+                # shrinks g_cap to len(samples)) so repeats share shapes
+                caps = (caps[0], caps[1], g_target)
+                buckets[g_target] = caps
+            return caps
 
     # ---------------------------------------------------------- counting
     def count(self, graphs: Sequence[Graph],
@@ -260,28 +272,38 @@ class CountingService:
             else:
                 node_counts = predict_gossip_counts(
                     self.gossip_params, self.query_embs, gb)
-            if self.cfg.clamp_counts:
-                node_counts = clamp_node_counts(
-                    node_counts, stage, self.cfg,
-                    canonical_type=self.tgt_cfg.canonical_type)
-            node_counts = apply_verified_override(
-                node_counts, counts, verified, stage.nindex)
-            if self.cfg.exact_size > 0:
-                from .pipeline import (
-                    apply_exact_column_override, exact_columns)
-
-                node_counts = apply_exact_column_override(
-                    node_counts, counts, exact_columns(self.cfg),
-                    stage.nindex)
-            graphlet = stage.workload.aggregate_node_counts(node_counts)
-            return CountResult(
-                graphlet_counts=np.round(np.maximum(graphlet, 0.0)),
-                node_counts=node_counts,
-                neighborhood_counts=counts,
-                verified_rows=verified,
-                refined=True,
-            )
+            return self._guard_and_package(stage, node_counts, counts,
+                                           verified)
         return self._package_unrefined(stage, counts, verified)
+
+    def _guard_and_package(self, stage, node_counts, counts,
+                           verified) -> CountResult:
+        """Post-refinement guard chain, shared by count and
+        count_large_graph so serving guards cannot drift between the
+        packed and halo-sharded paths: combinatorial clamp ->
+        exact-verified row override -> exact-small-query column
+        override -> graphlet aggregation."""
+        if self.cfg.clamp_counts:
+            node_counts = clamp_node_counts(
+                node_counts, stage, self.cfg,
+                canonical_type=self.tgt_cfg.canonical_type)
+        node_counts = apply_verified_override(
+            node_counts, counts, verified, stage.nindex)
+        if self.cfg.exact_size > 0:
+            from .pipeline import (
+                apply_exact_column_override, exact_columns)
+
+            node_counts = apply_exact_column_override(
+                node_counts, counts, exact_columns(self.cfg),
+                stage.nindex)
+        graphlet = stage.workload.aggregate_node_counts(node_counts)
+        return CountResult(
+            graphlet_counts=np.round(np.maximum(graphlet, 0.0)),
+            node_counts=node_counts,
+            neighborhood_counts=counts,
+            verified_rows=verified,
+            refined=True,
+        )
 
     @staticmethod
     def _package_unrefined(stage, counts, verified) -> CountResult:
@@ -338,27 +360,8 @@ class CountingService:
         node_counts = serve_gossip_counts(
             self.gossip_params, graph, x_all, self.query_embs,
             n_devices=n_devices)
-        if self.cfg.clamp_counts:
-            node_counts = clamp_node_counts(
-                node_counts, stage, self.cfg,
-                canonical_type=self.tgt_cfg.canonical_type)
-        node_counts = apply_verified_override(
-            node_counts, counts, verified, stage.nindex)
-        if self.cfg.exact_size > 0:
-            from .pipeline import (
-                apply_exact_column_override, exact_columns)
-
-            node_counts = apply_exact_column_override(
-                node_counts, counts, exact_columns(self.cfg),
-                stage.nindex)
-        graphlet = stage.workload.aggregate_node_counts(node_counts)
-        return CountResult(
-            graphlet_counts=np.round(np.maximum(graphlet, 0.0)),
-            node_counts=node_counts,
-            neighborhood_counts=counts,
-            verified_rows=verified,
-            refined=True,
-        )
+        return self._guard_and_package(stage, node_counts, counts,
+                                       verified)
 
     def count_stream(self, requests, refine: Optional[bool] = None,
                      prefetch: int = 1):

@@ -29,8 +29,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import time
-from functools import partial
-from typing import Callable, List, Optional
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -41,7 +40,7 @@ from ..batch.packed import PackedGraphs, stack_batches
 from ..models import gossip as gossip_mod
 from ..models import neighborhood as neigh_mod
 from ..models.shmp_gnn import SHMPConfig
-from ..parallel.dp import dp_step_fn, pad_batches_to_multiple, reshape_for_dp
+from ..parallel.dp import dp_step_fn, pad_batches_to_multiple
 from .checkpoint import save_checkpoint
 from .schedule import ReduceLROnPlateau
 
@@ -67,20 +66,6 @@ class TrainResult:
 
 
 # ---------------------------------------------------------------- generic
-def _scan_epoch(step_fn, params, opt_state, stacked, lr, rng):
-    """Scan-based epoch (kept for reference/tests; ~45x slower than the
-    python loop on this TPU stack — do not use on the hot path)."""
-    def body(carry, batch):
-        params, opt_state, rng = carry
-        rng, sub = jax.random.split(rng)
-        params, opt_state, loss = step_fn(params, opt_state, batch, lr, sub)
-        return (params, opt_state, rng), loss
-
-    (params, opt_state, rng), losses = jax.lax.scan(
-        body, (params, opt_state, rng), stacked)
-    return params, opt_state, losses
-
-
 def run_training(
     *, params, tx, train_batches: List[PackedGraphs],
     val_batches: List[PackedGraphs],
@@ -123,8 +108,21 @@ def run_training(
     def to_device_list(batches, group: int = 1, keep_axis: bool = False):
         """keep_axis: DP steps index the per-device axis inside the
         shard, so even a group of 1 must keep a leading axis."""
-        stack = jax.device_put(stack_batches(batches))
         n = len(batches) // group
+        if mesh is not None and group > 1:
+            # shard each step's group across the mesh's data axis UP
+            # FRONT — a plain device_put would commit the stack to the
+            # default device and the shard_map step would then re-
+            # transfer the group from device 0 on EVERY step
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sh = NamedSharding(mesh, P("data"))
+            out = [jax.device_put(
+                stack_batches(batches[i * group:(i + 1) * group]), sh)
+                for i in range(n)]
+            jax.block_until_ready(out)
+            return out
+        stack = jax.device_put(stack_batches(batches))
         if group == 1 and not keep_axis:
             out = [jax.tree_util.tree_map(lambda x, i=i: x[i], stack)
                    for i in range(n)]
@@ -203,6 +201,11 @@ def run_training(
                f"best_val {best_val:.5f})")
 
     rng_np = np.random.default_rng(seed + 1)
+    # a resumed run must CONTINUE the shuffle stream, not restart it —
+    # replay the draws the completed epochs consumed (the device rng is
+    # advanced via fold_in above; this is its host-side analog)
+    for _ in range(start_epoch):
+        rng_np.permutation(n_train)
     for epoch in range(start_epoch, epochs):
         t0 = time.time()
         rng, epoch_key = jax.random.split(rng)
@@ -241,6 +244,17 @@ def run_training(
         train_losses.append(tl)
         val_losses.append(vl)
         if run_val:
+            if val_dev is not None and not np.isfinite(vl):
+                # symmetric with the train-side abort above: a val pass
+                # that RAN and produced a non-finite loss must not be
+                # silently replaced by the train loss (that would record
+                # a diverged state as .best and mix metric scales)
+                msg = (f"epoch {epoch}: validation loss is {vl}; "
+                       f"aborting (resume from "
+                       f"{ckpt_path + '.last' if ckpt_path else 'scratch'}).")
+                log_fn(msg)
+                raise FloatingPointError(msg)
+            # tl fallback is for runs with NO val set only
             monitored = vl if np.isfinite(vl) else tl
             sched.step(monitored)
             if monitored < best_val:
@@ -349,19 +363,33 @@ def _jit_predict_from_embs(tgt_cfg):
         p, tgt_cfg, b, eq))
 
 
+def stage_batches_for_predict(batches: List[PackedGraphs],
+                              query_batch):
+    """One host->device transfer of a request's packed batches (labels
+    and the backward permutation are dead in the forward — stripping
+    them cuts ~20% of the upload; the tunnel upload bounds big-set
+    serving). Returns (stacked_device_tree, device_query_batch) to pass
+    as ``staged`` to predict_neighborhood_counts — ensemble serving
+    reuses ONE transfer across members instead of re-uploading
+    identical bytes per member."""
+    stacked = jax.device_put(dataclasses.replace(
+        stack_batches(batches), y=None, node_y=None, edge_bwd_perm=None))
+    return stacked, jax.device_put(query_batch)
+
+
 def predict_neighborhood_counts(params, tgt_cfg, qry_cfg, query_batch,
-                                batches: List[PackedGraphs]) -> np.ndarray:
+                                batches: List[PackedGraphs],
+                                staged=None) -> np.ndarray:
     # python loop over device batches (lax.map is a scan: pathologically
     # slow on this stack); the query tower runs ONCE — the query set is
     # static across batches (reference set_query_emb semantics). The
     # jitted callables are memoized per config: a fresh jit(lambda)
     # per call would RETRACE the 8-layer model every call (~5s of pure
-    # tracing per serving request). Labels and the backward permutation
-    # are dead in the forward — stripping them cuts ~20% of the
-    # host->device transfer (the tunnel upload bounds big-set serving)
-    stacked = jax.device_put(dataclasses.replace(
-        stack_batches(batches), y=None, node_y=None, edge_bwd_perm=None))
-    emb_q = _jit_embed_queries(qry_cfg)(params, jax.device_put(query_batch))
+    # tracing per serving request).
+    if staged is None:
+        staged = stage_batches_for_predict(batches, query_batch)
+    stacked, query_batch = staged  # both already on device
+    emb_q = _jit_embed_queries(qry_cfg)(params, query_batch)
     fn = _jit_predict_from_embs(tgt_cfg)
     # dispatch everything, read back ONE stacked array: every
     # np.asarray is a full tunnel round trip on this platform, so
