@@ -99,6 +99,7 @@ def pack_samples(
     e_cap: int,
     g_cap: int,
     n_queries: int = 0,
+    need_bwd_perm: bool = True,
 ) -> List[PackedGraphs]:
     """Greedy sequential packing into fixed-capacity batches.
 
@@ -152,7 +153,7 @@ def pack_samples(
     ED = alloc((B, e_cap), np.int32, pad_node)
     ET = alloc((B, e_cap), np.int32, PAD_EDGE_TYPE)
     GM = alloc((B, g_cap), np.float32, 0)
-    BWP = alloc((B, e_cap), np.int32, 0)
+    BWP = alloc((B, e_cap), np.int32, 0) if need_bwd_perm else None
     Y = alloc((B, g_cap, n_queries), np.float32, 0) if has_y else None
     NY = alloc((B, n_cap, n_queries), np.float32, 0) if has_ny else None
 
@@ -194,8 +195,11 @@ def pack_samples(
             ED[bi, :m] = ed[order]
             ET[bi, :m] = et[order]
         # backward companion: slot permutation sorting edges by
-        # (src, type); pad slots (src = pad node, the max id) sort last
-        BWP[bi] = np.lexsort((ET[bi], ES[bi])).astype(np.int32)
+        # (src, type); pad slots (src = pad node, the max id) sort last.
+        # Dead in forward-only packing (serving strips it anyway) — the
+        # full-row host lexsort is skipped when the caller says so.
+        if need_bwd_perm:
+            BWP[bi] = np.lexsort((ET[bi], ES[bi])).astype(np.int32)
 
     return [
         PackedGraphs(
@@ -204,7 +208,7 @@ def pack_samples(
             graph_mask=GM[bi],
             y=Y[bi] if has_y else None,
             node_y=NY[bi] if has_ny else None,
-            edge_bwd_perm=BWP[bi],
+            edge_bwd_perm=BWP[bi] if need_bwd_perm else None,
         )
         for bi in range(B)
     ]
@@ -224,6 +228,10 @@ def auto_capacities(
     callers that want shape-reuse headroom across *future* sample sets —
     the serving bucket cache passes 1.2 so one compiled shape absorbs
     slightly-larger follow-up requests."""
+    if not samples:
+        raise ValueError(
+            "auto_capacities needs at least one sample; callers with "
+            "possibly-empty requests must short-circuit (serving does)")
     nodes = np.array([s.n_nodes for s in samples], dtype=np.int64)
     edges = np.array([s.n_edges for s in samples], dtype=np.int64)
     g_cap = min(g_cap, len(samples))
@@ -253,11 +261,19 @@ def stack_batches(batches: List[PackedGraphs]) -> PackedGraphs:
         if (
             base is not None
             and base.ndim == xs[0].ndim + 1
-            and base.shape[0] >= len(xs)
             and all(x.base is base for x in xs)
-            and all(np.shares_memory(x, base[i]) for i, x in enumerate(xs))
         ):
-            return base[:len(xs)]
+            # locate xs[0]'s row in the block so MID-BLOCK slices stay
+            # zero-copy too (DP staging stacks batches[i*D:(i+1)*D] per
+            # group — anchoring only at base[0] copied every group > 0)
+            for j in range(base.shape[0] - len(xs) + 1):
+                if np.shares_memory(xs[0], base[j]):
+                    break
+            else:
+                return np.stack(xs)
+            if all(np.shares_memory(x, base[j + i])
+                   for i, x in enumerate(xs)):
+                return base[j:j + len(xs)]
         return np.stack(xs)
 
     return jax.tree_util.tree_map(stack, *batches)

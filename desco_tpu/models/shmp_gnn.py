@@ -213,10 +213,16 @@ def gat_aggregator(cfg: SHMPConfig, batch: PackedGraphs, att):
         den = segment_sum(p, seg, n * t_n,
                           indices_are_sorted=True).reshape(n, t_n)
         m2 = m.reshape(n, t_n)
-        # merge the self-loop candidate into each (node, type) softmax
+        # merge the self-loop candidate into each (node, type) softmax.
+        # Empty (node,type) segments (den == 0) must anchor the rescale
+        # at s_self, not the fixed-up m2 == 0: with a strongly negative
+        # self-logit, exp(s_self - 0) underflows and the softmax would
+        # be 0/0 = NaN; anchored at s_self the result is exactly z_self
+        # (softmax over {self} alone)
         s_self = jax.nn.leaky_relu(s_src + s_dst, 0.2).T  # [N, T]
-        big = jnp.maximum(m2, s_self)
-        w_edges = jnp.exp(m2 - big)                       # rescale factor
+        empty = den == 0
+        big = jnp.where(empty, s_self, jnp.maximum(m2, s_self))
+        w_edges = jnp.where(empty, 0.0, jnp.exp(m2 - big))
         w_self = jnp.exp(s_self - big)
         z_self = jnp.swapaxes(z, 0, 1)                    # [N, T, K]
         out_t = ((num * w_edges[..., None] + w_self[..., None] * z_self)
@@ -259,10 +265,14 @@ def pna_aggregator(cfg: SHMPConfig, batch: PackedGraphs, mix_w_all):
         mix_w = mix_w_all[layer]                          # [T, 12H, H]
         z = jnp.einsum("nh,thk->tnk", x, conv_w)          # [T, N, K]
         z_src = z[e_t, batch.edge_src]                    # [E, K]
-        ones = jnp.ones(seg.shape, z_src.dtype)
+        # degree counts and moment sums accumulate in f32 regardless of
+        # the tower dtype: a bf16 count saturates at 256 (8-bit
+        # mantissa), freezing degrees/mean/std for high-degree nodes
+        z32 = z_src.astype(jnp.float32)
+        ones = jnp.ones(seg.shape, jnp.float32)
         cnt = segment_sum(ones, seg, n * t_n, indices_are_sorted=True)
-        s1 = segment_sum(z_src, seg, n * t_n, indices_are_sorted=True)
-        s2 = segment_sum(z_src * z_src, seg, n * t_n,
+        s1 = segment_sum(z32, seg, n * t_n, indices_are_sorted=True)
+        s2 = segment_sum(z32 * z32, seg, n * t_n,
                          indices_are_sorted=True)
         d = jnp.maximum(cnt, 1.0)[:, None]
         mean = s1 / d
@@ -409,7 +419,11 @@ def apply_shmp(
         emb = jnp.where(is_canon, anchored, emb)
 
     if rng is not None:
-        rng, sub = jax.random.split(rng)
+        # fold in a tag first: apply_shmp_core consumed splits of this
+        # SAME key for the layer dropouts, so a bare split here would
+        # reproduce layer-0's subkey and correlate the post-MLP dropout
+        # mask with the layer-0 mask (threefry split is deterministic)
+        rng, sub = jax.random.split(jax.random.fold_in(rng, 0x9057))
     else:
         sub = None
 

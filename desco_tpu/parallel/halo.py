@@ -709,10 +709,12 @@ def halo_gat_aggregator(cfg, shard, att, axis: str = "graph"):
         den = den.reshape(n, t_n)
         m2 = m.reshape(n, t_n)
         # merge the self-loop candidate into each (node, type) softmax
-        # (identical to the packed path)
+        # (identical to the packed path, incl. the empty-segment anchor
+        # at s_self — see models/shmp_gnn.gat_aggregator)
         s_self = jax.nn.leaky_relu(s_src + s_dst, 0.2).T  # [n_loc, T]
-        big = jnp.maximum(m2, s_self)
-        w_edges = jnp.exp(m2 - big)
+        empty = den == 0
+        big = jnp.where(empty, s_self, jnp.maximum(m2, s_self))
+        w_edges = jnp.where(empty, 0.0, jnp.exp(m2 - big))
         w_self = jnp.exp(s_self - big)
         z_self = jnp.swapaxes(z, 0, 1)                    # [n_loc, T, K]
         out_t = ((num * w_edges[..., None] + w_self[..., None] * z_self)

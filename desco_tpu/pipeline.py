@@ -257,7 +257,10 @@ def prepare_stage_data(
     if callable(capacities):  # serving bucket selection sees the samples
         capacities = capacities(samples)
     caps = capacities or auto_capacities(samples, g_cap=cfg.neigh_batch_size)
-    batches = pack_samples(samples, *caps, n_queries=n_q)
+    # the backward edge permutation only matters for training; pure
+    # serving (need_truth=False) skips its full-row host lexsort
+    batches = pack_samples(samples, *caps, n_queries=n_q,
+                           need_bwd_perm=need_truth)
     return StageData(wl, samples, nindex, truth, batches)
 
 
