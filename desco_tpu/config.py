@@ -126,6 +126,11 @@ def to_pipeline_config(args: argparse.Namespace) -> PipelineConfig:
             "--neigh_degree_feature and --use_node_feature are mutually "
             "exclusive: the degree write would clobber column 0 of the "
             "one-hot label features")
+    if args.use_node_feature and not args.use_hetero:
+        raise SystemExit(
+            "--use_node_feature requires --use_hetero: the homogeneous "
+            "sample builder carries no node features, so labels would "
+            "be silently dropped while the truth stays label-dependent")
     return PipelineConfig(
         query_sizes=tuple(args.query_sizes),
         custom_query_ids=(tuple(args.query_ids)

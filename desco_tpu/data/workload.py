@@ -33,9 +33,38 @@ from ..truth.vf2 import symmetric_factor
 
 
 def _query_signature(query_ids: Sequence[int], max_len: int = 30) -> str:
-    # mirrors the reference's cache-key convention (workload.py:494-500)
-    return ("query_num_{:d}_atlas_ids_".format(len(query_ids))
-            + "_".join(map(str, list(query_ids)[:max_len])))
+    # mirrors the reference's cache-key convention (workload.py:494-500),
+    # plus a full-set digest: the human-readable prefix truncates at
+    # ``max_len`` ids, so two >30-id sets sharing a prefix and length
+    # would otherwise collide on the same cache file
+    ids = list(query_ids)
+    sig = ("query_num_{:d}_atlas_ids_".format(len(ids))
+           + "_".join(map(str, ids[:max_len])))
+    if len(ids) > max_len:
+        import hashlib
+
+        digest = hashlib.sha1(
+            ",".join(map(str, ids)).encode()).hexdigest()[:10]
+        sig += "_h" + digest
+    return sig
+
+
+def _labeled_query_signature(queries, q_labels) -> str:
+    """Cache key for labeled truth: a digest of the full query
+    STRUCTURE (edges + label assignment per query). Count + summed
+    size alone collide across different label expansions of same-shaped
+    query sets — and the stale truth would load silently (the shape
+    check passes)."""
+    import hashlib
+
+    h = hashlib.sha1()
+    for q, ql in zip(queries, q_labels):
+        h.update(np.int64(q.n_nodes).tobytes())
+        e = np.asarray(q.edges, np.int64).reshape(-1, 2)
+        h.update(e[np.lexsort((e[:, 1], e[:, 0]))].tobytes())
+        h.update(np.asarray(ql, np.int64).tobytes())
+    return ("query_num_{:d}_node_feat_h{}"
+            .format(len(queries), h.hexdigest()[:12]))
 
 
 @dataclasses.dataclass
@@ -163,34 +192,48 @@ class Workload:
         matching (the use_node_feature mode, workload.py:336-341,
         551-726). ``queries`` and ``self.graphs`` carry one-hot
         ``node_feat``; labels are the argmax."""
-        sig = ("query_num_{:d}_query_len_sum_{:d}_node_feat"
-               .format(len(queries), sum(q.n_nodes for q in queries)))
+        from ..truth.vf2 import count_induced_embeddings
+
+        q_labels = [q.node_feat.argmax(-1).astype(np.int32)
+                    for q in queries]
+        sig = _labeled_query_signature(queries, q_labels)
         path = os.path.join(self.root, "CanonicalCountTruth", sig + ".npy")
         if use_cache and os.path.exists(path):
             truth = np.load(path)
             if truth.shape == (self.total_nodes, len(queries)):
                 return truth
-        from ..truth.vf2 import count_induced_embeddings
-
-        q_labels = [q.node_feat.argmax(-1).astype(np.int32)
-                    for q in queries]
         t_labels = [g.node_feat.argmax(-1).astype(np.int32)
                     for g in self.graphs]
         sf = [max(symmetric_factor(q, ql), 1)
               for q, ql in zip(queries, q_labels)]
         use_native = truth_native.native_available()
         out = np.zeros((self.total_nodes, len(queries)), np.float64)
-        for gi, g in enumerate(self.graphs):
+
+        def one_graph(gi):
+            g = self.graphs[gi]
             lo = self.node_offsets[gi]
             for qi, q in enumerate(queries):
                 per = np.zeros(g.n_nodes, np.int64)
                 if use_native:
+                    # releases the GIL -> real thread parallelism
                     truth_native.vf2_count_native(
                         g, q, per, t_labels[gi], q_labels[qi])
                 else:
                     count_induced_embeddings(g, q, per, t_labels[gi],
                                              q_labels[qi])
                 out[lo:lo + g.n_nodes, qi] = per / sf[qi]
+
+        if use_native and len(self.graphs) > 1:
+            # same fan-out as the unlabeled path: the C call releases
+            # the GIL, so the labeled truth scales with cores too
+            from concurrent.futures import ThreadPoolExecutor
+
+            w = num_workers or os.cpu_count() or 4
+            with ThreadPoolExecutor(max_workers=w) as ex:
+                list(ex.map(one_graph, range(len(self.graphs))))
+        else:
+            for gi in range(len(self.graphs)):
+                one_graph(gi)
         if use_cache:
             os.makedirs(os.path.dirname(path), exist_ok=True)
             np.save(path, out)
@@ -258,6 +301,17 @@ class Workload:
         induced 4-sets per neighborhood (exact, host Python) — use it
         at molecular scale (<~100-node graphs, the regime the reference
         evaluates); the order-3 tconv path is the production default."""
+        if use_node_feat and truth is None:
+            raise ValueError(
+                "use_node_feat=True needs an explicit labeled `truth` "
+                "(compute_groundtruth_labeled over the expanded query "
+                "set) — the unlabeled default would silently target "
+                "label-blind counts")
+        if use_node_feat and not use_hetero:
+            raise ValueError(
+                "use_node_feat=True with use_hetero=False is "
+                "unsupported: the homogeneous sample builder carries no "
+                "node features, so labels would be silently dropped")
         if truth is None:
             truth = self.compute_groundtruth(query_ids,
                                              num_workers=num_workers)
@@ -265,6 +319,27 @@ class Workload:
                                        use_node_feat, order)
         if use_cache and os.path.exists(cache):
             samples, nindex = self._load_neigh_cache(cache)
+            # stale-cache guard: a dataset regenerated in the same root
+            # (different seed/graph count) leaves the old sample cache
+            # behind; its (gid, vid) rows would index the NEW truth —
+            # IndexError at best, silently wrong labels at worst
+            idx = np.asarray(nindex.index)
+            if (len(nindex.indicator) != self.total_nodes
+                    or (len(idx)
+                        and (idx[:, 0].max() >= len(self.graphs)
+                             or np.any(self.node_offsets[idx[:, 0]]
+                                       + idx[:, 1] >= self.total_nodes)))):
+                import warnings
+
+                warnings.warn(
+                    f"neighborhood cache at {cache} does not match the "
+                    f"current dataset (stale after regeneration?) — "
+                    f"recomputing", stacklevel=2)
+                samples = None
+        else:
+            samples = None
+        if samples is not None:
+            pass
         elif (order == 3 and use_hetero and use_tconv
               and truth_native.native_available()):
             samples, nindex = self._native_fast_samples(

@@ -77,7 +77,16 @@ def load_library() -> Optional[ctypes.CDLL]:
         ]
         assert lib.desco_host_abi_version() == 1
         _lib = lib
-    except Exception:
+    except Exception as e:
+        # fail OPEN to the pure-Python path, but never silently: a
+        # broken toolchain or missing source would otherwise turn
+        # minutes of truth computation into hours with no explanation
+        import warnings
+
+        warnings.warn(
+            f"native desco_host library unavailable ({type(e).__name__}:"
+            f" {e}) — falling back to the pure-Python VF2 path, which "
+            f"is orders of magnitude slower", stacklevel=2)
         _lib_failed = True
     return _lib
 
@@ -111,19 +120,6 @@ def vf2_count_native(
     return int(lib.vf2_count(
         target.n_nodes, target.n_edges, tp,
         query.n_nodes, query.n_edges, qp, tl, ql, pn))
-
-
-def canonical_counts_one(
-    target: Graph, queries: Sequence[Graph],
-    symmetry_factors: Sequence[int],
-) -> np.ndarray:
-    """(n_nodes, n_queries) canonical counts for one target (native)."""
-    out = np.zeros((target.n_nodes, len(queries)), dtype=np.float64)
-    for qi, q in enumerate(queries):
-        per = np.zeros(target.n_nodes, dtype=np.int64)
-        vf2_count_native(target, q, per)
-        out[:, qi] = per / symmetry_factors[qi]
-    return out
 
 
 def parallel_canonical_counts(

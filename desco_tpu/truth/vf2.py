@@ -65,6 +65,12 @@ def count_induced_embeddings(
     workload.py:336-341). Returns the total count (NOT divided by the
     automorphism factor).
     """
+    if (target_labels is None) != (query_labels is None):
+        # one-sided labels would either crash deep in the recursion
+        # (query side only) or silently return the inflated unlabeled
+        # count (target side only)
+        raise ValueError(
+            "target_labels and query_labels must be given together")
     nq, nt = query.n_nodes, target.n_nodes
     if nq > nt:
         return 0
@@ -92,7 +98,6 @@ def count_induced_embeddings(
         need[i] = m
 
     mapped = [0] * nq  # target node at each order position
-    used_mask = 0
     total = 0
 
     def extend(i: int, used_mask: int) -> int:
@@ -129,7 +134,7 @@ def count_induced_embeddings(
                 extend(i + 1, used_mask | (1 << t))
         return 0
 
-    extend(0, used_mask)
+    extend(0, 0)
     return total
 
 
