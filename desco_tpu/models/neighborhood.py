@@ -39,9 +39,15 @@ def init_neighborhood_model(key, tgt_cfg: SHMPConfig, qry_cfg: SHMPConfig):
     }
 
 
-def embed_queries(params, qry_cfg: SHMPConfig, query_batch: PackedGraphs):
-    """[Q, H] query embeddings (query_batch packs exactly the query set)."""
-    return apply_shmp(params["query"], qry_cfg, query_batch)
+def embed_queries(params, qry_cfg: SHMPConfig, query_batch: PackedGraphs,
+                  train=False, rng=None):
+    """[Q, H] query embeddings (query_batch packs exactly the query set).
+    ``train``/``rng`` activate dropout in the query tower — the
+    reference runs the query embedding model in train mode during
+    training_step, so nonzero-dropout configs must match (no effect at
+    the default dropout=0.0)."""
+    return apply_shmp(params["query"], qry_cfg, query_batch,
+                      train=train, rng=rng)
 
 
 def embed_targets(params, tgt_cfg: SHMPConfig, batch: PackedGraphs,
@@ -83,7 +89,9 @@ def _masked_mean(v, mask):
 
 def forward_counts(params, tgt_cfg, qry_cfg, batch, query_batch,
                    train=False, rng=None):
-    emb_q = embed_queries(params, qry_cfg, query_batch)
+    q_rng = (jax.random.fold_in(rng, 0x71) if rng is not None else None)
+    emb_q = embed_queries(params, qry_cfg, query_batch,
+                          train=train, rng=q_rng)
     emb_t = embed_targets(params, tgt_cfg, batch, train=train, rng=rng)
     return count_head(params, emb_t, emb_q)
 

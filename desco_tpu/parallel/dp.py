@@ -65,6 +65,10 @@ def dp_step_fn(loss_fn: Callable, tx, mesh: Mesh,
     out replicated and exact. A manual grad psum here would double-count.
     """
 
+    if weight_kind not in ("graphs", "sum"):
+        raise ValueError(f"weight_kind must be 'graphs' or 'sum', "
+                         f"got {weight_kind!r}")
+
     @partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P(), P(), P("data"), P(), P()),
@@ -125,26 +129,34 @@ def dp_predict_neighborhood_counts(params, tgt_cfg, qry_cfg, query_batch,
     from ..batch.packed import stack_batches
     from ..models import neighborhood as neigh_mod
 
+    from ..train.loop import _jit_embed_queries
+
+    batches = list(batches)
+    n_q = query_batch.graph_mask.shape[0]
+    if not batches:
+        return np.zeros((0, n_q), np.float32)
     mesh = mesh or make_mesh()
     d = int(mesh.devices.size)
-    padded = pad_batches_to_multiple(list(batches), d)
+    padded = pad_batches_to_multiple(batches, d)
     stacked = dataclasses.replace(
         stack_batches(padded), y=None, node_y=None, edge_bwd_perm=None)
     groups = reshape_for_dp(stacked, d)  # [B//d, d, ...]
-    emb_q = jax.jit(lambda p, qb: neigh_mod.embed_queries(
-        p, qry_cfg, qb))(params, query_batch)
+    # memoized jit (train/loop.py): a fresh jit(lambda) here would
+    # retrace the 8-layer query tower on every serving request
+    emb_q = _jit_embed_queries(qry_cfg)(params, query_batch)
     fn = _dp_predict_fn(tgt_cfg, mesh)
+    # dispatch ALL groups, then one host read-back: each np.asarray is
+    # a full tunnel round trip, so per-group syncs would serialize them
+    dev_out = []
+    with mesh:
+        for gi in range(len(padded) // d):
+            g = jax.tree_util.tree_map(lambda x, i=gi: x[i], groups)
+            dev_out.append(fn(params, g, emb_q))  # [d, g_cap, Q]
+    all_preds = np.asarray(jnp.stack(dev_out))    # [B//d, d, g_cap, Q]
     out = []
-    for gi in range(len(padded) // d):
-        g = jax.tree_util.tree_map(lambda x, i=gi: x[i], groups)
-        with mesh:
-            preds = np.asarray(fn(params, g, emb_q))  # [d, g_cap, Q]
-        for k in range(d):
-            bi = gi * d + k
-            if bi >= len(batches):
-                break
-            valid = np.asarray(batches[bi].graph_mask) > 0
-            out.append(preds[k][valid])
+    for bi in range(len(batches)):
+        valid = np.asarray(batches[bi].graph_mask) > 0
+        out.append(all_preds[bi // d, bi % d][valid])
     return np.concatenate(out, axis=0)
 
 
@@ -170,24 +182,26 @@ def dp_predict_gossip_counts(params, query_embs, batches,
 
     from ..batch.packed import stack_batches
 
+    batches = list(batches)
+    if not batches:
+        return np.zeros((0, int(query_embs.shape[0])), np.float32)
     mesh = mesh or make_mesh()
     d = int(mesh.devices.size)
-    padded = pad_batches_to_multiple(list(batches), d)
+    padded = pad_batches_to_multiple(batches, d)
     stacked = dataclasses.replace(
         stack_batches(padded), y=None, node_y=None, edge_bwd_perm=None)
     groups = reshape_for_dp(stacked, d)
     fn = _dp_gossip_predict_fn(mesh)
+    dev_out = []
+    with mesh:  # dispatch all, ONE read-back (tunnel round trips)
+        for gi in range(len(padded) // d):
+            g = jax.tree_util.tree_map(lambda x, i=gi: x[i], groups)
+            dev_out.append(fn(params, g, query_embs))  # [d, n_cap, Q]
+    all_preds = np.asarray(jnp.stack(dev_out))
     out = []
-    for gi in range(len(padded) // d):
-        g = jax.tree_util.tree_map(lambda x, i=gi: x[i], groups)
-        with mesh:
-            preds = np.asarray(fn(params, g, query_embs))  # [d, n_cap, Q]
-        for k in range(d):
-            bi = gi * d + k
-            if bi >= len(batches):
-                break
-            valid = np.asarray(batches[bi].node_mask) > 0
-            out.append(preds[k][valid])
+    for bi in range(len(batches)):
+        valid = np.asarray(batches[bi].node_mask) > 0
+        out.append(all_preds[bi // d, bi % d][valid])
     return np.concatenate(out, axis=0)
 
 
