@@ -19,7 +19,13 @@ def norm_mse(pred: np.ndarray, truth: np.ndarray,
     out = []
     for group in groupby:
         mse = np.mean((pred[:, group] - truth[:, group]) ** 2)
-        out.append(float(mse / np.var(truth[:, group])))
+        var = np.var(truth[:, group])
+        if var == 0.0:
+            # constant truth column group: the normalized metric is the
+            # limit 0 (exact) or inf (any error) — never nan
+            out.append(0.0 if mse == 0.0 else float("inf"))
+        else:
+            out.append(float(mse / var))
     return out
 
 

@@ -89,8 +89,9 @@ def load_snap_edgelist(root: str, name: str,
     ids = np.unique(edges)
     remap = {int(v): i for i, v in enumerate(ids)}
     e = np.array([(remap[int(u)], remap[int(v)]) for u, v in edges
-                  if u != v], np.int64)
-    e = np.unique(np.sort(e, axis=1), axis=0)
+                  if u != v], np.int64).reshape(-1, 2)
+    e = (np.unique(np.sort(e, axis=1), axis=0) if len(e)
+         else np.zeros((0, 2), np.int64))
     return [Graph(len(ids), e.astype(np.int32))]
 
 
@@ -295,18 +296,20 @@ def load_data(
     elif name in ("Cora", "CiteSeer"):
         try:
             graphs = load_planetoid(root_folder, name)
-        except FileNotFoundError:
-            # fallback: a pre-exported bare edge list (round-1 convention)
+        except (FileNotFoundError, ImportError):
+            # fallback: a pre-exported bare edge list (round-1
+            # convention). ImportError: the primary loader needs scipy,
+            # an optional dependency
             graphs = load_snap_edgelist(root_folder, name)
     elif name == "ZINC":
         try:
             graphs = load_zinc(root_folder)
-        except FileNotFoundError:
+        except (FileNotFoundError, ImportError):  # pickles need torch
             graphs = load_snap_edgelist(root_folder, name)
     elif name == "arXiv":
         try:
             graphs = load_ogb_arxiv(root_folder)
-        except FileNotFoundError:
+        except (FileNotFoundError, ImportError):
             graphs = load_snap_edgelist(root_folder, name)
     else:
         raise NotImplementedError(f"unknown dataset: {name}")

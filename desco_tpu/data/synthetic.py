@@ -7,7 +7,7 @@ uniformly, parameterized by sampled (node count, edge count), forced
 connected by joining components along a random tree, then randomly
 relabeled. ``Syn_1827`` uses the stratified size/degree grid of
 ``_gen_Synthetic_1827`` (syn_data.py:658-746): 1380 graphs over sizes
-10..59 x average degrees 1..12, plus 447 graphs over sizes 60..800 x
+10..69 x average degrees 1..12, plus 447 graphs over sizes 60..800 x
 degrees 1..3.
 
 Graphs are materialized once and cached on disk as edge-list text files
@@ -370,7 +370,12 @@ def load_or_generate_synthetic(
                 fa.write(f"{u + off}, {v + off}\n")
                 fa.write(f"{v + off}, {u + off}\n")
             off += g.n_nodes
-    return graphs
+    # read the cache back so the GENERATING run returns bit-identical
+    # edge order/orientation to every later cached run (the reader
+    # canonicalizes to sorted u<v pairs; the in-memory graphs carry nx
+    # iteration order — float accumulation order in the forward would
+    # otherwise differ between run 1 and run 2+)
+    return read_edge_list_dataset(a_path, ind_path)
 
 
 def read_edge_list_dataset(a_path: str, ind_path: str) -> List[Graph]:

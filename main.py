@@ -21,6 +21,7 @@ import time
 
 import numpy as np
 
+from desco_tpu.analysis import round_relu
 from desco_tpu.config import build_parser, to_pipeline_config
 from desco_tpu.data.datasets import load_data
 from desco_tpu.models import neighborhood as neigh_mod
@@ -190,7 +191,9 @@ def main(argv=None) -> int:
             neigh_params, tgt_cfg, qry_cfg, qb, test_stage, cfg,
             return_verified=True, mesh=mesh)
     counts = {"test": counts_test}
-    if train_needed:
+    # train/val stage-1 predictions feed ONLY gossip training — skip
+    # the full-train-set forward + VF2 tail recounts otherwise
+    if args.train_gossip:
         counts["train"] = neighborhood_predictions(
             neigh_params, tgt_cfg, qry_cfg, qb, train_stage, cfg,
             mesh=mesh)
@@ -277,7 +280,7 @@ def main(argv=None) -> int:
     graphlet_neigh = wl.aggregate_neighborhood_counts(
         counts["test"], test_stage.nindex)
     _save_csv(output_dir, f"neighborhood_graphlet_{args.test_dataset}.csv",
-              np.round(np.maximum(graphlet_neigh, 0)))
+              round_relu(graphlet_neigh))
     _save_csv(output_dir, f"neighborhood_node_{args.test_dataset}_results.csv",
               counts["test"])
     _save_csv(output_dir, f"neighborhood_node_{args.test_dataset}_index.csv",
@@ -287,13 +290,13 @@ def main(argv=None) -> int:
         graphlet_gossip = wl.aggregate_node_counts(gossip_node_counts)
         final_graphlet = graphlet_gossip
         _save_csv(output_dir, f"gossip_graphlet_{args.test_dataset}.csv",
-                  np.round(np.maximum(graphlet_gossip, 0)))
+                  round_relu(graphlet_gossip))
         _save_csv(output_dir, f"gossip_node_{args.test_dataset}_results.csv",
                   gossip_node_counts)
     # the pipeline's final graphlet counts (gossip-refined when stage 3
     # ran, stage-1 otherwise) + exact truth, for external analysis
     _save_csv(output_dir, f"graphlet_count_{args.test_dataset}.csv",
-              np.round(np.maximum(final_graphlet, 0)))
+              round_relu(final_graphlet))
     _save_csv(output_dir, f"graphlet_truth_{args.test_dataset}.csv",
               wl.aggregate_node_counts(test_stage.truth))
     # the test graphs themselves, for external analysis (the reference
