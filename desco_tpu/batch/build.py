@@ -84,13 +84,8 @@ def neighborhood_sample(
         d_can = node_type[dst] == CANONICAL
         combo = np.where(s_can, 2, np.where(d_can, 1, 0))
         etype = (orb * 3 + combo).astype(np.int32)
-        if x is None:
-            x = np.zeros((g.n_nodes, f_dim), dtype=np.float32)
-        return GraphSample(
-            node_type=node_type, x=x.astype(np.float32),
-            edge_src=src, edge_dst=dst, edge_type=etype, y=y,
-        )
-    if use_tconv:
+        # falls through to the shared sample construction below
+    elif use_tconv:
         tri = triangle_edge_mask(g)[eid] if len(eid) else np.zeros(0, bool)
         s_can = node_type[src] == CANONICAL
         d_can = node_type[dst] == CANONICAL

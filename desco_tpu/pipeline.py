@@ -187,6 +187,21 @@ def model_configs(cfg: PipelineConfig):
     return tgt, qry
 
 
+def _check_degree_feature_combo(cfg: PipelineConfig) -> None:
+    """degree_feature writes x[:, 0], which would clobber label one-hots
+    (use_node_feature) or the homogeneous canonical indicator
+    (use_hetero=False). The CLI guards this too, but PipelineConfig can
+    be built programmatically — enforce at the pipeline layer."""
+    if cfg.degree_feature and cfg.use_node_feature:
+        raise ValueError(
+            "degree_feature and use_node_feature are mutually exclusive "
+            "(the degree write clobbers label column 0)")
+    if cfg.degree_feature and not cfg.use_hetero:
+        raise ValueError(
+            "degree_feature requires use_hetero (homogeneous samples "
+            "carry the canonical indicator in x)")
+
+
 def apply_degree_feature(samples) -> None:
     """x[:, 0] = log2(1 + degree) in place (cfg.degree_feature). The
     degree is WITHIN the sample's graph (neighborhood-local for targets),
@@ -208,6 +223,7 @@ def build_query_batch(cfg: PipelineConfig) -> PackedGraphs:
     qs = [query_sample(q, use_tconv=cfg.use_tconv,
                        f_dim=cfg.neigh_input_dim) for q in queries]
     if cfg.degree_feature:
+        _check_degree_feature_combo(cfg)
         apply_degree_feature(qs)
     batches = pack_samples(qs, *auto_capacities(qs, g_cap=len(qs)))
     assert len(batches) == 1, "query set must pack into one batch"
@@ -253,6 +269,7 @@ def prepare_stage_data(
         use_node_feat=cfg.use_node_feature, use_cache=need_truth,
         order=cfg.order)
     if cfg.degree_feature:
+        _check_degree_feature_combo(cfg)
         apply_degree_feature(samples)
     if callable(capacities):  # serving bucket selection sees the samples
         capacities = capacities(samples)
@@ -308,8 +325,6 @@ def neighborhood_predictions(params, tgt_cfg, qry_cfg, query_batch,
     forward over its ``data`` axis (parallel/dp.py DP serving —
     bit-identical to single-device)."""
     if cfg is not None and cfg.serve_bf16:
-        import jax.numpy as jnp
-
         tgt_cfg = dataclasses.replace(tgt_cfg, dtype=jnp.bfloat16)
 
     def _one_forward(member, staged=None):
@@ -472,10 +487,11 @@ def exact_small_counts(counts: np.ndarray, stage: StageData,
 
     graphs, canon = [], []
     for s in stage.samples:
+        # _directed lists each undirected edge in both orientations, so
+        # src < dst already yields each undirected edge exactly once
         und = s.edge_src < s.edge_dst
-        edges = np.unique(np.stack(
-            [s.edge_src[und], s.edge_dst[und]], 1).astype(np.int32),
-            axis=0)
+        edges = np.stack(
+            [s.edge_src[und], s.edge_dst[und]], 1).astype(np.int32)
         g = Graph(s.n_nodes, edges)
         if cfg.use_node_feature:
             g.node_feat = s.x
@@ -489,17 +505,32 @@ def exact_small_counts(counts: np.ndarray, stage: StageData,
                     for q in sub_queries]
         sf = [max(symmetric_factor(q, q_labels[j]), 1)
               for j, q in enumerate(sub_queries)]
-        for r, (g, cv) in enumerate(zip(graphs, canon)):
+        use_native = truth_native.native_available()
+
+        def one_nb(r):
+            g, cv = graphs[r], canon[r]
             t_lab = g.node_feat.argmax(-1).astype(np.int32)
             for j, q in enumerate(sub_queries):
                 per = np.zeros(g.n_nodes, np.int64)
-                if truth_native.native_available():
+                if use_native:
                     truth_native.vf2_count_native(g, q, per, t_lab,
                                                   q_labels[j])
                 else:
                     count_induced_embeddings(g, q, per, t_lab,
                                              q_labels[j])
                 counts[r, cols[j]] = per[cv] / sf[j]
+
+        if use_native and len(graphs) > 1:
+            # same fan-out as the unlabeled path below — the native
+            # call releases the GIL
+            from concurrent.futures import ThreadPoolExecutor
+
+            w = cfg.num_workers or os.cpu_count() or 4
+            with ThreadPoolExecutor(max_workers=w) as ex:
+                list(ex.map(one_nb, range(len(graphs))))
+        else:
+            for r in range(len(graphs)):
+                one_nb(r)
         return counts, cols
     if truth_native.native_available():
         per_nb = truth_native.parallel_canonical_counts(
@@ -532,15 +563,20 @@ def stage_bounds(stage: StageData, cfg: PipelineConfig,
     """(#neighborhoods, Q) combinatorial upper bounds for a stage,
     computed once and memoized on the StageData (both the stage-1 clamp
     and the stage-3 node clamp consume the same bounds)."""
-    cached = getattr(stage, "_bounds_cache", None)
-    if cached is None:
+    key = (canonical_type, cfg.use_node_feature,
+           tuple(cfg.query_ids), cfg.neigh_input_dim)
+    cache = getattr(stage, "_bounds_cache", None)
+    if cache is None or cache[0] != key:
         from .truth.bounds import neighborhood_count_bounds
 
         cached = neighborhood_count_bounds(
             stage.batches, pipeline_queries(cfg),
-            canonical_type=canonical_type)
-        object.__setattr__(stage, "_bounds_cache", cached)
-    return cached
+            canonical_type=canonical_type,
+            # labeled mode must divide by the label-preserving Aut
+            labeled=cfg.use_node_feature)
+        object.__setattr__(stage, "_bounds_cache", (key, cached))
+        return cached
+    return cache[1]
 
 
 def clamp_node_counts(node_counts: np.ndarray, stage: StageData,
@@ -586,14 +622,17 @@ def apply_verified_override(gossip_node_counts: np.ndarray,
 
 def prepare_gossip_batches(
     cfg: PipelineConfig, stage: StageData, neigh_counts: np.ndarray,
-    capacities=None,
+    capacities=None, need_bwd_perm: bool = True,
 ) -> List[PackedGraphs]:
     samples = stage.workload.gossip_samples(neigh_counts, stage.nindex,
                                             stage.truth)
     if callable(capacities):  # serving bucket selection sees the samples
         capacities = capacities(samples)
     caps = capacities or auto_capacities(samples, g_cap=cfg.gossip_batch_size)
-    return pack_samples(samples, *caps, n_queries=stage.truth.shape[1])
+    # serving passes need_bwd_perm=False: the backward permutation is
+    # training-only and costs a full-row host lexsort per batch
+    return pack_samples(samples, *caps, n_queries=stage.truth.shape[1],
+                        need_bwd_perm=need_bwd_perm)
 
 
 def train_gossip_stage(

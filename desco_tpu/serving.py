@@ -441,4 +441,5 @@ class CountingService:
             self.cfg, stage, counts,
             capacities=lambda samples: self._pin_caps(
                 self._gossip_buckets, samples,
-                self.cfg.gossip_batch_size))
+                self.cfg.gossip_batch_size),
+            need_bwd_perm=False)  # forward-only: skip the host lexsort

@@ -132,12 +132,22 @@ def _batch_bounds(batch: PackedGraphs, schedules, canonical_type: int):
 def neighborhood_count_bounds(
     batches: List[PackedGraphs], queries: Sequence[Graph],
     canonical_type: int = 1,
+    labeled: bool = False,
 ) -> np.ndarray:
     """(#neighborhoods, Q) f32 upper bounds, rows in the same valid-graph
-    order as ``predict_neighborhood_counts``."""
+    order as ``predict_neighborhood_counts``.
+
+    ``labeled``: divide by the LABEL-PRESERVING |Aut(q)| (queries carry
+    one-hot node_feat) — the structural divisor is larger (e.g. a
+    (0,0,1)-labeled triangle has Aut_struct=6 but Aut_lab=2), so an
+    unlabeled divisor would make bounds up to Aut_struct/Aut_lab times
+    too SMALL and clamp away correct labeled predictions."""
     schedules = _hashable_schedules(queries)
-    auts = np.array([symmetric_factor(q) for q in queries],
-                    dtype=np.float32)
+    auts = np.array([
+        symmetric_factor(
+            q, (q.node_feat.argmax(-1).astype(np.int32)
+                if labeled else None))
+        for q in queries], dtype=np.float32)
     out = []
     for b in batches:
         ub = np.asarray(_batch_bounds(jax.device_put(b), schedules,
